@@ -1,0 +1,6 @@
+"""Data layer: synthetic generators, file loaders, splits, subsampling."""
+
+from cross_patient_speech_decoding_tpu.data.synthetic import (
+    SyntheticDataset,
+    make_synthetic_patients,
+)

@@ -1,0 +1,220 @@
+"""Building-block layers: fused GRU/LSTM scans, temporal conv, pos-encoding.
+
+TPU-first equivalents of the reference blocks in
+`/root/reference/aligned_decoding/nn_models/models.py` (``TemporalConv``
+:599-636, ``EncoderRNN``/``DecoderRNN`` :639-761, ``SimpleGRU`` :764-796,
+``PositionalEncoding`` :799-831) and ``StackedRNN``
+(`realtime_sim/realtime_nn_model.py:22-63`).
+
+Design notes:
+- **Fused recurrences.** cuDNN GRU is replaced by a `lax.scan` whose input
+  projections for ALL timesteps are computed as one large (B*T, 3H) matmul
+  up front (MXU-saturating); only the (H, 3H) recurrent matmul runs per
+  step. Gate math follows the torch convention (reset/update/new with
+  ``n = tanh(x_n + r * (h @ W_hn))``) so hyperparameters transfer.
+- **Weight init parity**: input kernels Xavier-uniform, recurrent kernels
+  orthogonal (reference realtime_nn_model.py:128-132).
+- Dropout keys are threaded explicitly (flax 'dropout' RNG collection).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FusedGRU(nn.Module):
+    """Single GRU layer as a scan with batched input projection.
+
+    Call: (B, T, F) -> (outputs (B, T, H), h_last (B, H)).
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None):
+        B, T, F = x.shape
+        H = self.hidden
+        wi = self.param("wi", nn.initializers.xavier_uniform(), (F, 3 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
+        bi = self.param("bi", nn.initializers.zeros, (3 * H,))
+        bh = self.param("bh", nn.initializers.zeros, (3 * H,))
+
+        xi = (x.reshape(B * T, F) @ wi + bi).reshape(B, T, 3 * H)
+        if h0 is None:
+            h0 = jnp.zeros((B, H), x.dtype)
+
+        def step(h, xt):
+            hz = h @ wh + bh
+            r = jax.nn.sigmoid(xt[:, :H] + hz[:, :H])
+            z = jax.nn.sigmoid(xt[:, H : 2 * H] + hz[:, H : 2 * H])
+            n = jnp.tanh(xt[:, 2 * H :] + r * hz[:, 2 * H :])
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        h_last, hs = jax.lax.scan(
+            step, h0, xi.swapaxes(0, 1), reverse=self.reverse
+        )
+        return hs.swapaxes(0, 1), h_last
+
+
+class FusedLSTM(nn.Module):
+    """Single LSTM layer as a scan with batched input projection."""
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, carry0=None):
+        B, T, F = x.shape
+        H = self.hidden
+        wi = self.param("wi", nn.initializers.xavier_uniform(), (F, 4 * H))
+        wh = self.param("wh", nn.initializers.orthogonal(), (H, 4 * H))
+        b = self.param("b", nn.initializers.zeros, (4 * H,))
+
+        xi = (x.reshape(B * T, F) @ wi + b).reshape(B, T, 4 * H)
+        if carry0 is None:
+            carry0 = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+
+        def step(carry, xt):
+            h, c = carry
+            g = xt + h @ wh
+            i = jax.nn.sigmoid(g[:, :H])
+            f = jax.nn.sigmoid(g[:, H : 2 * H])
+            gg = jnp.tanh(g[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(g[:, 3 * H :])
+            c_new = f * c + i * gg
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        (h_last, c_last), hs = jax.lax.scan(
+            step, carry0, xi.swapaxes(0, 1), reverse=self.reverse
+        )
+        return hs.swapaxes(0, 1), (h_last, c_last)
+
+
+class StackedRNN(nn.Module):
+    """Multi-layer (optionally bidirectional) GRU/LSTM stack.
+
+    Equivalent of ``nn.GRU(num_layers, bidirectional)`` /
+    reference StackedRNN (realtime_nn_model.py:22-63): inter-layer dropout,
+    per-direction last hidden states returned as (n_layers*n_dir, B, H).
+    """
+
+    hidden: int
+    n_layers: int = 1
+    dropout: float = 0.0
+    bidirectional: bool = False
+    cell: str = "gru"  # 'gru' | 'lstm'
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        h0: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        Cell = FusedGRU if self.cell == "gru" else FusedLSTM
+        n_dir = 2 if self.bidirectional else 1
+        lasts = []
+        out = x
+        for layer in range(self.n_layers):
+            h0_f = None if h0 is None else h0[layer * n_dir]
+            if self.cell == "lstm" and h0_f is not None:
+                h0_f = (h0_f, jnp.zeros_like(h0_f))
+            fwd, last_f = Cell(self.hidden, name=f"fwd{layer}")(out, h0_f)
+            if self.bidirectional:
+                h0_b = None if h0 is None else h0[layer * n_dir + 1]
+                if self.cell == "lstm" and h0_b is not None:
+                    h0_b = (h0_b, jnp.zeros_like(h0_b))
+                bwd, last_b = Cell(self.hidden, reverse=True, name=f"bwd{layer}")(
+                    out, h0_b
+                )
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+                lasts.extend([last_f, last_b])
+            else:
+                out = fwd
+                lasts.append(last_f)
+            if self.dropout > 0 and layer < self.n_layers - 1:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if self.cell == "lstm":
+            lasts = [l[0] for l in lasts]
+        return out, jnp.stack(lasts)  # (B,T,H*n_dir), (n_layers*n_dir, B, H)
+
+
+class TemporalConv(nn.Module):
+    """Conv1d + BatchNorm + ReLU + Dropout over the time axis.
+
+    Reference TemporalConv (models.py:599-636). Input (B, T, C_in) ->
+    (B, T', n_filters); VALID padding shrinks T like torch's default.
+    """
+
+    n_filters: int
+    kernel_size: int
+    stride: int = 1
+    padding: str = "VALID"
+    dropout: float = 0.3
+    activation: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True):
+        x = nn.Conv(
+            self.n_filters,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=self.padding,
+        )(x)
+        x = nn.BatchNorm(use_running_average=deterministic)(x)
+        if self.activation:
+            x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class PositionalEncoding(nn.Module):
+    """Sinusoidal positional encoding (models.py:799-831)."""
+
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        T = x.shape[1]
+        pos = jnp.arange(self.max_len)[:, None].astype(jnp.float32)
+        div = jnp.exp(
+            jnp.arange(0, self.d_model, 2).astype(jnp.float32)
+            * (-math.log(10000.0) / self.d_model)
+        )
+        pe = jnp.zeros((self.max_len, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: (self.d_model + 1) // 2]))
+        return x + pe[None, :T, :].astype(x.dtype)
+
+
+def linear_decay_schedule(lr: float, decay_steps: int, end_factor: float = 0.0):
+    """torch LinearLR(start=1.0, end=end_factor, total_iters=decay_steps)."""
+    import optax
+
+    def sched(step):
+        frac = jnp.minimum(step / decay_steps, 1.0)
+        return lr * (1.0 + (end_factor - 1.0) * frac)
+
+    return sched
+
+
+def cosine_warmup_schedule(lr: float, warmup: int, max_iters: int):
+    """Reference CosineWarmupScheduler (models.py:834-872):
+    factor = 0.5*(1+cos(pi*step/max_iters)) * min(1, step/warmup)."""
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * step / max_iters))
+        warm = jnp.minimum(1.0, step / jnp.maximum(warmup, 1))
+        return lr * cos * warm
+
+    return sched

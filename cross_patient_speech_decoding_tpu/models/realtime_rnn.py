@@ -1,0 +1,128 @@
+"""Realtime CTC RNN — the streaming phoneme decoder (flagship model).
+
+TPU-native rebuild of the reference ``RealtimeRNNModel``
+(`/root/reference/aligned_decoding/realtime_sim/realtime_nn_model.py:93-304`):
+sliding-window input reformatting (win=14, stride=4; right-aligned windows
+trading sequence length for feature width, credited there to
+nejm-brain-to-text), stacked GRU with trainable h0, per-window dense CTC
+head with bias init -2 everywhere / +2 on blank, CTC training loss, and
+greedy-decoded PER validation.
+
+The torch ``unfold`` becomes a gather + reshape; the window-count formula
+``n_win = (T - win) // stride + 1`` and the input-length adjustment
+(:214) are preserved exactly.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cross_patient_speech_decoding_tpu.models.layers import StackedRNN
+
+
+def reformat_time_windows(x: jax.Array, win: int, stride: int) -> jax.Array:
+    """(B, T, C) -> (B, n_win, win*C) sliding windows.
+
+    Flattening order matches the reference permute/reshape
+    (realtime_nn_model.py:172-199): within a window, time-major then
+    channel, i.e. [t0 c0..cC, t1 c0..cC, ...].
+    """
+    B, T, C = x.shape
+    n_win = (T - win) // stride + 1
+    idx = jnp.arange(n_win)[:, None] * stride + jnp.arange(win)[None, :]
+    xw = x[:, idx, :]  # (B, n_win, win, C)
+    return xw.reshape(B, n_win, win * C)
+
+
+def adjusted_input_lengths(input_lengths: jax.Array, win: int, stride: int):
+    """Window-adjusted valid frame counts (realtime_nn_model.py:214)."""
+    return (input_lengths - win) // stride + 1
+
+
+def _bias_blank_init(blank: int, n_classes: int):
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.full(shape, -2.0, dtype)  # suppress phonemes early
+        return b.at[blank].set(2.0)  # encourage blank early
+
+    return init
+
+
+class RealtimeRNN(nn.Module):
+    """Windowed stacked-GRU CTC model.
+
+    Attributes mirror the reference hparams: hidden_size, n_layers,
+    n_classes (incl. blank), dropout, win_size, stride, bidirectional.
+    """
+
+    hidden: int
+    n_layers: int
+    n_classes: int
+    dropout: float = 0.3
+    win_size: int = 14
+    stride: int = 4
+    bidirectional: bool = False
+    blank: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """x (B, T, C) -> logits (B, n_win, n_classes)."""
+        B = x.shape[0]
+        xw = reformat_time_windows(x, self.win_size, self.stride)
+
+        n_dir = 2 if self.bidirectional else 1
+        h0 = self.param(
+            "h0",
+            nn.initializers.xavier_uniform(),
+            (self.n_layers * n_dir, 1, self.hidden),
+        )
+        h0 = jnp.broadcast_to(h0, (self.n_layers * n_dir, B, self.hidden))
+
+        out, _ = StackedRNN(
+            self.hidden,
+            self.n_layers,
+            dropout=self.dropout,
+            bidirectional=self.bidirectional,
+        )(xw, h0, deterministic=deterministic)
+
+        logits = nn.Dense(
+            self.n_classes,
+            bias_init=_bias_blank_init(self.blank, self.n_classes),
+        )(out)
+        return logits
+
+    def streaming_cell(self, params):
+        """Return (init_state, step_fn) for single-window streaming decode.
+
+        step_fn(state, window_feats (C*win,)) -> (state, logits (n_classes,)).
+        Used by the realtime simulator to run one GRU step per new feature
+        window with carried hidden state (the reference's closed-loop path).
+        """
+        if self.bidirectional:
+            raise ValueError("streaming requires a unidirectional model")
+
+        def init_state(batch: int = 1):
+            h0 = params["params"]["h0"]
+            return jnp.broadcast_to(h0, (self.n_layers, batch, self.hidden))
+
+        def step(state, window):
+            # run the stacked GRU for a single timestep
+            out, new_state = StackedRNN(
+                self.hidden, self.n_layers, dropout=0.0
+            ).apply(
+                {"params": _rnn_params(params)},
+                window[None, None, :],
+                state,
+                deterministic=True,
+            )
+            logits = out[0, 0] @ params["params"]["Dense_0"]["kernel"] + (
+                params["params"]["Dense_0"]["bias"]
+            )
+            return new_state, logits
+
+        return init_state, step
+
+
+def _rnn_params(params):
+    return params["params"]["StackedRNN_0"]

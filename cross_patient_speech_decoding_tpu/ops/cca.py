@@ -1,0 +1,227 @@
+"""CCA alignment of neural latent spaces — pure JAX, vmappable, static shapes.
+
+Reproduces the math of the reference's ``CCA_align`` / ``AlignCCA``
+(`/root/reference/aligned_decoding/alignment/AlignCCA.py:235-285, 43-106`,
+after Gallego et al., Nat. Neurosci. 2020): per-dimension centering, rank
+determination, orthonormalization, SVD of the orthonormal-basis inner
+product, manifold directions M = pinv(R) @ U[:, :d], and the b->a transform
+``X @ M_b @ pinv(M_a)``.
+
+TPU-first redesign decisions (vs. the reference's numpy QR path):
+
+1. **Static shapes + masking instead of data-dependent truncation.** The
+   reference truncates to ``d = min(rank_a, rank_b)`` with ``matrix_rank``,
+   a data-dependent width. Here M_a/M_b keep a static width with columns
+   ``>= d`` zeroed. Because ``pinv([A, 0]) == [pinv(A); 0]``, the composite
+   transform ``M_b_masked @ pinv(M_a_masked)`` equals the reference's
+   truncated product exactly.
+
+2. **SVD orthonormalization instead of QR.** Householder QR of a
+   rank-deficient (or zero-column-masked) matrix produces *arbitrary*
+   orthonormal completions in the null directions, which would leak garbage
+   correlations into ``Q_a^T Q_b`` under masking. A thin SVD gives the same
+   column-space basis but lets us zero null-direction columns exactly, so
+   masked latent dims contribute exact zeros. The final aligned transform is
+   factorization-invariant (canonical vectors are unique up to a sign that
+   cancels in ``M_b @ pinv(M_a)``), verified against a numpy QR oracle in
+   tests/test_cca.py.
+
+3. **Row masking.** Condition-averaged latents live in a fixed
+   ``(n_classes * T, K)`` layout; classes absent from either dataset are
+   masked rows (masked centering + zeroed residuals), exactly equivalent to
+   the reference's row selection of shared classes.
+
+Batched use: ``jax.vmap(cca_align)`` solves many patient-pair / fold /
+bootstrap alignments in one XLA launch — this is the "alignment fits/sec"
+benchmark surface.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cross_patient_speech_decoding_tpu.ops.precision import hdot, hpinv
+
+
+class CCAAlignment(NamedTuple):
+    """Fitted CCA alignment between datasets A and B.
+
+    Attributes:
+        m_a: (Ka, D) manifold directions for A, columns >= d zeroed.
+        m_b: (Kb, D) manifold directions for B, columns >= d zeroed.
+        canon_corrs: (D,) canonical correlations clipped to [0, 1], zero
+            beyond d.
+        d: scalar int32 = min(rank_a, rank_b).
+        proj_b_to_a: (Kb, Ka) composite transform M_b @ pinv(M_a).
+        proj_a_to_b: (Ka, Kb) composite transform M_a @ pinv(M_b).
+    """
+
+    m_a: jax.Array
+    m_b: jax.Array
+    canon_corrs: jax.Array
+    d: jax.Array
+    proj_b_to_a: jax.Array
+    proj_a_to_b: jax.Array
+
+
+def _masked_center_cols(L: jax.Array, row_mask: jax.Array | None):
+    """Center each column over (valid) rows; zero invalid rows exactly."""
+    if row_mask is None:
+        return L - jnp.mean(L, axis=0, keepdims=True)
+    w = row_mask.astype(L.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(L * w, axis=0, keepdims=True) / n
+    return (L - mean) * w
+
+
+def _rank_tol(s: jax.Array, n_rows, n_cols) -> jax.Array:
+    """numpy matrix_rank default tolerance: smax * max(M, N) * eps."""
+    eps = jnp.finfo(s.dtype).eps
+    return jnp.max(s) * max(n_rows, n_cols) * eps
+
+
+def _orthonormalize(L: jax.Array):
+    """Thin SVD basis of the column space with null directions zeroed.
+
+    Returns (Q, pinv_R, rank): L = Q @ R with Q (R_rows, K) having exact
+    zero columns for null directions, and pinv_R = pinv(R) (K, K) where
+    R = diag(s) @ V^T.
+    """
+    u, s, vt = jnp.linalg.svd(L, full_matrices=False)
+    tol = _rank_tol(s, L.shape[0], L.shape[1])
+    keep = (s > tol).astype(L.dtype)
+    rank = jnp.sum(keep).astype(jnp.int32)
+    q = u * keep[None, :]
+    s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+    # pinv(R) = V diag(1/s), with null directions exactly zeroed
+    pinv_r = vt.T * (s_inv * keep)[None, :]
+    return q, pinv_r, rank
+
+
+def masked_pinv(M: jax.Array) -> jax.Array:
+    """pinv that is exact for zero-masked trailing columns (uses SVD)."""
+    return hpinv(M)
+
+
+def cca_align(
+    L_a: jax.Array,
+    L_b: jax.Array,
+    row_mask: jax.Array | None = None,
+) -> CCAAlignment:
+    """CCA alignment between two latent-dynamics matrices.
+
+    Args:
+        L_a: (R, Ka) latent dynamics for A; rows are samples (class x time
+            flattened), columns are latent dims. NOTE: this is the transpose
+            of the reference's ``CCA_align(L_a)`` orientation — row-major
+            sample layout is the idiomatic XLA layout.
+        L_b: (R, Kb) latent dynamics for B (same row layout/mask).
+        row_mask: optional (R,) {0,1} validity mask shared by both sides
+            (classes present in both datasets).
+    """
+    La = _masked_center_cols(L_a, row_mask)
+    Lb = _masked_center_cols(L_b, row_mask)
+
+    q_a, pinv_ra, rank_a = _orthonormalize(La)
+    q_b, pinv_rb, rank_b = _orthonormalize(Lb)
+    d = jnp.minimum(rank_a, rank_b)
+
+    g = hdot(q_a.T, q_b)  # (Ka, Kb); masked dims are exact zero rows/cols
+    u, s, vt = jnp.linalg.svd(g, full_matrices=False)
+    D = s.shape[0]  # = min(Ka, Kb)
+
+    col_mask = (jnp.arange(D) < d).astype(L_a.dtype)
+    m_a = hdot(pinv_ra, u[:, :D]) * col_mask[None, :]
+    m_b = hdot(pinv_rb, vt.T[:, :D]) * col_mask[None, :]
+    corrs = jnp.clip(s[:D], 0.0, 1.0) * col_mask
+
+    proj_b_to_a = hdot(m_b, masked_pinv(m_a))
+    proj_a_to_b = hdot(m_a, masked_pinv(m_b))
+    return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
+
+
+def cnd_avg(
+    data: jax.Array,
+    class_ids: jax.Array,
+    n_classes: int,
+    sample_mask: jax.Array | None = None,
+):
+    """Per-class trial means — reference ``cnd_avg`` (alignment_utils.py:42-61).
+
+    Implemented as one segment-sum instead of a Python loop over classes.
+
+    Args:
+        data: (N, ...) trials-first array.
+        class_ids: (N,) int32 compact class ids in [0, n_classes).
+        n_classes: static class-universe size.
+        sample_mask: optional (N,) validity mask (masked trials excluded).
+
+    Returns:
+        (avg, counts): avg is (n_classes, ...) with zero rows for absent
+        classes; counts is (n_classes,) valid-trial counts per class.
+    """
+    N = data.shape[0]
+    w = (
+        jnp.ones((N,), data.dtype)
+        if sample_mask is None
+        else sample_mask.astype(data.dtype)
+    )
+    flat = (data * w.reshape((N,) + (1,) * (data.ndim - 1))).reshape(N, -1)
+    sums = jax.ops.segment_sum(flat, class_ids, num_segments=n_classes)
+    counts = jax.ops.segment_sum(w, class_ids, num_segments=n_classes)
+    avg = sums / jnp.maximum(counts, 1.0)[:, None]
+    return avg.reshape((n_classes,) + data.shape[1:]), counts
+
+
+class FittedAligner(NamedTuple):
+    """AlignCCA-equivalent fitted on class-averaged latent trajectories."""
+
+    alignment: CCAAlignment
+    shared_mask: jax.Array  # (n_classes,) classes present in both datasets
+
+
+def fit_cca_aligner(
+    X_a: jax.Array,
+    X_b: jax.Array,
+    ids_a: jax.Array,
+    ids_b: jax.Array,
+    n_classes: int,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+) -> FittedAligner:
+    """Fit class-averaged CCA alignment (reference AlignCCA type='class').
+
+    Mirrors ``AlignCCA.fit`` -> ``extract_latent_dynamics_by_class`` ->
+    ``CCA_align`` (AlignCCA.py:43-61, 156-183): condition-average each
+    dataset, keep classes present in both, fold time into rows, CCA.
+
+    Args:
+        X_a: (Na, T, Ka) target-latent trials.
+        X_b: (Nb, T, Kb) source-latent trials.
+        ids_a, ids_b: per-trial compact class ids.
+        n_classes: static class-universe size.
+        mask_a, mask_b: optional per-trial validity masks (for fold subsets).
+    """
+    avg_a, cnt_a = cnd_avg(X_a, ids_a, n_classes, mask_a)
+    avg_b, cnt_b = cnd_avg(X_b, ids_b, n_classes, mask_b)
+    shared = ((cnt_a > 0) & (cnt_b > 0)).astype(X_a.dtype)
+
+    T = X_a.shape[1]
+    L_a = avg_a.reshape(n_classes * T, X_a.shape[-1])
+    L_b = avg_b.reshape(n_classes * T, X_b.shape[-1])
+    row_mask = jnp.repeat(shared, T)
+
+    alignment = cca_align(L_a, L_b, row_mask)
+    return FittedAligner(alignment=alignment, shared_mask=shared)
+
+
+def transform_b_to_a(aligner: FittedAligner, X_b: jax.Array) -> jax.Array:
+    """Map source-patient latents into the target patient's space.
+
+    Reference ``AlignCCA._transform_single`` with return_space='b_to_a'
+    (AlignCCA.py:92-94): ``X @ M_b @ pinv(M_a)``.
+    """
+    return hdot(X_b, aligner.alignment.proj_b_to_a)

@@ -1,0 +1,63 @@
+"""Label encoding utilities.
+
+The reference encodes phoneme-sequence class labels as joined strings so
+that sequences can act as dict-style class keys
+(`/root/reference/aligned_decoding/alignment/alignment_utils.py:64-99`,
+``label2str``/``label_seq2str``). String keys are hostile to XLA; here
+sequences are encoded as integers instead. Because the phoneme vocabulary is
+the single digits 1..9 (`scripts/train_ctc_rnn.py:35-47` in the reference),
+base-10 positional encoding reproduces the reference's string-join semantics
+exactly: ``[1, 2, 3] -> 123`` and lexicographic string order == integer order
+for equal-length sequences, so class orderings (``np.unique``) agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Phoneme (1..9) -> articulator (1..4) collapse map; mirrors the dict at
+# reference alignment/alignment_utils.py:197.
+PHON_TO_ARTIC = np.array([0, 1, 1, 2, 2, 3, 3, 3, 4, 4], dtype=np.int32)
+
+
+def phon_to_artic(phon: np.ndarray) -> np.ndarray:
+    """Collapse phoneme labels (values 1-9) to articulator labels (1-4)."""
+    return PHON_TO_ARTIC[np.asarray(phon, dtype=np.int64)]
+
+
+def encode_label_sequences(labels: np.ndarray) -> np.ndarray:
+    """Encode 1-D labels or 2-D label sequences into scalar integer classes.
+
+    Equivalent to the reference's ``label2str`` (alignment_utils.py:64-80)
+    but producing integers: a (N, L) array of digits becomes base-10 joined
+    integers; a (N,) array passes through as int64.
+    """
+    labels = np.asarray(labels)
+    if labels.ndim == 1:
+        return labels.astype(np.int64)
+    if labels.ndim != 2:
+        raise ValueError(f"labels must be 1-D or 2-D, got shape {labels.shape}")
+    out = np.zeros(labels.shape[0], dtype=np.int64)
+    for j in range(labels.shape[1]):
+        out = out * 10 + labels[:, j].astype(np.int64)
+    return out
+
+
+def to_class_ids(encoded: np.ndarray, universe: np.ndarray | None = None):
+    """Map encoded labels to compact contiguous class ids.
+
+    Args:
+        encoded: (N,) integer-encoded labels.
+        universe: optional sorted array of all class values defining the id
+            space. If None, uses np.unique(encoded). Sorted order matches the
+            reference's ``np.unique`` over label strings (see module note).
+
+    Returns:
+        (class_ids, universe): class_ids is (N,) int32 indices into universe.
+    """
+    if universe is None:
+        universe = np.unique(encoded)
+    ids = np.searchsorted(universe, encoded)
+    if not np.all(universe[ids] == encoded):
+        raise ValueError("encoded labels contain values outside the universe")
+    return ids.astype(np.int32), universe

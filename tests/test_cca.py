@@ -1,0 +1,168 @@
+"""Parity tests: ops.cca vs a float64 numpy QR oracle of the reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.ops import (
+    cca_align,
+    cnd_avg,
+    fit_cca_aligner,
+    transform_b_to_a,
+)
+
+from oracles import (
+    oracle_cca_align,
+    oracle_class_latents,
+    oracle_cnd_avg,
+    oracle_aligned_transform,
+)
+
+
+def _latents(seed, R=120, ka=7, kb=9, rank=5):
+    """Latent pairs with distinct, well-separated canonical correlations.
+
+    f32 vs f64 parity is only meaningful where the CCA solution is
+    well-conditioned: shared directions get per-direction noise of distinct
+    magnitude (distinct canon corrs), unshared dims are pure noise, and the
+    mixings are orthogonal with mild (<=3x) column scaling.
+    """
+    rng = np.random.default_rng(seed)
+    shared = rng.normal(size=(R, rank))
+
+    def make(k, key_noise):
+        cols = []
+        for i in range(rank):
+            sigma = 0.15 * (i + 1)
+            cols.append(shared[:, i] + sigma * key_noise.normal(size=R))
+        for j in range(k - rank):
+            cols.append(2.0 * key_noise.normal(size=R))
+        M = np.stack(cols, axis=1)
+        q, _ = np.linalg.qr(key_noise.normal(size=(k, k)))
+        scale = np.linspace(1.0, 3.0, k)
+        return M @ (q * scale[None, :])
+
+    return make(ka, rng), make(kb, rng)
+
+
+def test_cnd_avg_matches_oracle():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 10, 6))
+    y = rng.integers(0, 5, 40)
+    ours, counts = cnd_avg(jnp.asarray(X), jnp.asarray(y, jnp.int32), 5)
+    np.testing.assert_allclose(np.asarray(ours), oracle_cnd_avg(X, y), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts), np.bincount(y, minlength=5))
+
+
+def test_cca_canon_corrs_match_oracle_full_rank():
+    La, Lb = _latents(1)
+    # oracle takes (dims, samples)
+    _, _, s_oracle = oracle_cca_align(La.T.copy(), Lb.T.copy())
+    res = cca_align(jnp.asarray(La), jnp.asarray(Lb))
+    d = int(res.d)
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res.canon_corrs[:d]), s_oracle, atol=2e-4)
+
+
+def test_cca_aligned_transform_matches_oracle():
+    """The composite X @ M_b @ pinv(M_a) is factorization-invariant."""
+    La, Lb = _latents(2)
+    m_a, m_b, _ = oracle_cca_align(La.T.copy(), Lb.T.copy())
+    rng = np.random.default_rng(3)
+    X_b = rng.normal(size=(30, Lb.shape[1]))
+    want = oracle_aligned_transform(X_b, m_a, m_b)
+
+    res = cca_align(jnp.asarray(La), jnp.asarray(Lb))
+    # verify with a float64 numpy matmul: a bare `jnp @` here would run at
+    # JAX's default reduced matmul precision and swamp the comparison
+    got = X_b @ np.asarray(res.proj_b_to_a).astype(np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_cca_rank_deficient_masking_matches_oracle():
+    """Zero-masked trailing latent dims == oracle on truncated matrices."""
+    La, Lb = _latents(4, ka=6, kb=8, rank=4)
+    # mask last 2 dims of a, last 3 of b (simulating PCA variance masking)
+    La_m = np.concatenate([La[:, :4], np.zeros((La.shape[0], 2))], axis=1)
+    Lb_m = np.concatenate([Lb[:, :5], np.zeros((Lb.shape[0], 3))], axis=1)
+
+    m_a, m_b, s_oracle = oracle_cca_align(La[:, :4].T.copy(), Lb[:, :5].T.copy())
+    rng = np.random.default_rng(5)
+    X_b = rng.normal(size=(20, 5))
+    want = oracle_aligned_transform(X_b, m_a, m_b)  # (20, 4)
+
+    res = cca_align(jnp.asarray(La_m), jnp.asarray(Lb_m))
+    d = int(res.d)
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res.canon_corrs[:d]), s_oracle, atol=2e-4)
+
+    X_b_m = np.concatenate([X_b, np.zeros((20, 3))], axis=1)
+    got = X_b_m @ np.asarray(res.proj_b_to_a).astype(np.float64)
+    np.testing.assert_allclose(got[:, :4], want, atol=2e-4)
+    np.testing.assert_allclose(got[:, 4:], 0.0, atol=1e-6)
+
+
+def test_cca_row_mask_equals_row_selection():
+    La, Lb = _latents(6, R=90)
+    mask = np.zeros(90)
+    mask[: 60] = 1.0
+    res_masked = cca_align(jnp.asarray(La), jnp.asarray(Lb), jnp.asarray(mask))
+    res_subset = cca_align(jnp.asarray(La[:60]), jnp.asarray(Lb[:60]))
+    d = int(res_subset.d)
+    assert int(res_masked.d) == d
+    np.testing.assert_allclose(
+        np.asarray(res_masked.canon_corrs), np.asarray(res_subset.canon_corrs),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_masked.proj_b_to_a), np.asarray(res_subset.proj_b_to_a),
+        atol=5e-3,
+    )
+
+
+def test_fit_cca_aligner_end_to_end_vs_oracle():
+    """Full AlignCCA path: cnd-avg over shared classes -> CCA -> b->a map."""
+    ds = make_synthetic_patients(seed=7, n_patients=2, latent_dim=5,
+                                 channels=(6, 8), noise=0.05,
+                                 trials_per_class=8, T=20)
+    X_a, X_b = ds.X
+    y_a, y_b = ds.class_ids
+    # drop one class from b so the shared-class intersection is exercised
+    keep_b = y_b != 2
+    X_b, y_b = X_b[keep_b], y_b[keep_b]
+
+    La, Lb = oracle_class_latents(X_a, X_b, y_a, y_b)
+    m_a, m_b, s_oracle = oracle_cca_align(La.T.copy(), Lb.T.copy())
+    want = oracle_aligned_transform(X_b, m_a, m_b)
+
+    aligner = fit_cca_aligner(
+        jnp.asarray(X_a), jnp.asarray(X_b),
+        jnp.asarray(y_a, jnp.int32), jnp.asarray(y_b, jnp.int32),
+        ds.n_classes,
+    )
+    got = np.asarray(transform_b_to_a(aligner, jnp.asarray(X_b)))
+    d = int(aligner.alignment.d)
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(
+        np.asarray(aligner.alignment.canon_corrs[:d]), s_oracle, atol=5e-4
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_cca_vmap_over_pairs():
+    """Many patient-pair alignments in one launch (the bench surface)."""
+    pairs = [_latents(10 + i) for i in range(5)]
+    La = jnp.asarray(np.stack([p[0] for p in pairs]))
+    Lb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    batched = jax.vmap(cca_align)(La, Lb)
+    for i in range(5):
+        single = cca_align(La[i], Lb[i])
+        np.testing.assert_allclose(
+            np.asarray(batched.canon_corrs[i]), np.asarray(single.canon_corrs),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.proj_b_to_a[i]), np.asarray(single.proj_b_to_a),
+            atol=1e-3,
+        )
