@@ -1,0 +1,465 @@
+"""End-to-end experiment drivers — the analogs of the reference scripts/.
+
+Each function runs one experiment family (SURVEY.md §2.7):
+- :func:`run_svm_decode`   <-> aligned_decode_svm[_ncv].py — repeated
+  stratified CV of pooled cross-patient classical decoding, but the whole
+  iter x fold product executes as vmapped fold batches on device;
+- :func:`run_train_seq2seq` <-> train_seq2seq.py;
+- :func:`run_train_ctc`    <-> train_ctc_rnn.py with the four contexts
+  (chance / patient-specific / unaligned / aligned);
+- :func:`run_tune_ctc`     <-> tune_ctc_rnn[_align].py via sweep/;
+- :func:`run_realtime_sim` — streaming decode latency report.
+
+All drivers accept ``data='synthetic'`` so every experiment is runnable
+without private patient files; file-backed runs use data.loaders.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.data.loaders import (
+    append_results_pkl,
+    decoding_data_from_dict,
+    load_pkl,
+)
+from cross_patient_speech_decoding_tpu.data.splits import (
+    repeated_stratified_kfold_masks,
+    train_val_test_masks,
+)
+from cross_patient_speech_decoding_tpu.decoders import (
+    DecodeConfig,
+    PatientArrays,
+    make_cv_decoder,
+)
+from cross_patient_speech_decoding_tpu.utils.config import (
+    RealtimeSimConfig,
+    SVMDecodeConfig,
+    TrainCTCConfig,
+    TrainSeq2SeqConfig,
+    TuneCTCConfig,
+)
+from cross_patient_speech_decoding_tpu.utils.labels import (
+    encode_label_sequences,
+    to_class_ids,
+)
+
+
+# ----------------------------------------------------------- data assembly ----
+
+def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
+                          lab_type: str = "phon", algn_type: str = "phon_seq",
+                          seed: int = 0, random_data: bool = False):
+    """Assemble (tar, cross) PatientArrays from a pkl file or synthetic."""
+    if data == "synthetic":
+        ds = make_synthetic_patients(seed=seed, n_patients=4, n_classes=9,
+                                     trials_per_class=15, T=40,
+                                     channels=(96, 111, 80, 64),
+                                     latent_dim=10, noise=0.6)
+        Xs = ds.X
+        ys = ds.y_first
+        aligns = ds.y_seq
+    else:
+        pt_data = load_pkl(data)
+        (X_t, y_t, ya_t), pre = decoding_data_from_dict(
+            pt_data, target_pt, p_ind, lab_type, algn_type
+        )
+        Xs = [X_t] + [x for x, _, _ in pre]
+        ys = [y_t] + [y for _, y, _ in pre]
+        aligns = [ya_t] + [ya for _, _, ya in pre]
+
+    rng = np.random.default_rng(seed)
+    if random_data:  # -r control: destroy cross-patient structure
+        Xs = [Xs[0]] + [rng.random(x.shape).astype(np.float32) for x in Xs[1:]]
+
+    y_enc = [encode_label_sequences(np.asarray(y)) for y in ys]
+    y_uni = np.unique(np.concatenate(y_enc))
+    a_enc = [encode_label_sequences(np.asarray(a)) for a in aligns]
+    a_uni = np.unique(np.concatenate(a_enc))
+
+    pts = [
+        PatientArrays(
+            X=jnp.asarray(np.asarray(X), jnp.float32),
+            y=jnp.asarray(to_class_ids(ye, y_uni)[0]),
+            y_align=jnp.asarray(to_class_ids(ae, a_uni)[0]),
+        )
+        for X, ye, ae in zip(Xs, y_enc, a_enc)
+    ]
+    return pts[0], tuple(pts[1:]), len(y_uni), len(a_uni)
+
+
+def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 72),
+                   vocab=9, seq_len=3):
+    """Synthetic CTC dataset: (X, labels(1..9), input_lens, label_lens) per pt."""
+    ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
+                                 n_classes=min(27, vocab**2),
+                                 trials_per_class=max(1, n_trials // 27),
+                                 T=T, channels=channels, latent_dim=12,
+                                 noise=0.5, seq_len=seq_len)
+    out = []
+    for p in range(n_patients):
+        n = len(ds.X[p])
+        out.append(
+            (
+                np.asarray(ds.X[p], np.float32),
+                np.asarray(ds.y_seq[p], np.int32),
+                np.full(n, T, np.int32),
+                np.full(n, seq_len, np.int32),
+            )
+        )
+    return out
+
+
+# ------------------------------------------------------------- svm decode ----
+
+def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
+    """Repeated stratified-CV pooled decode; incremental pkl persistence."""
+    tar, cross, n_y, n_a = _patients_from_config(
+        cfg.data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type,
+        cfg.seed, cfg.random_data,
+    )
+    dcfg = DecodeConfig(
+        n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
+        n_align_classes=n_a, lam=cfg.lam, kernel=cfg.kernel,
+        tar_in_train=cfg.tar_in_train,
+    )
+    decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
+    y_host = np.asarray(tar.y)
+
+    Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+    all_accs = []
+    for it in range(cfg.n_iter):
+        tr, te = repeated_stratified_kfold_masks(
+            y_host, cfg.n_folds, 1, seed=cfg.seed + it
+        )
+        accs = np.asarray(decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te)))
+        all_accs.append(accs)
+        append_results_pkl(cfg.out, accs, params=vars(cfg))
+        if verbose:
+            print(
+                f"iter {it}: balanced acc {accs.mean():.3f} "
+                f"(chance {1.0 / n_y:.3f})",
+                flush=True,
+            )
+    return np.stack(all_accs)
+
+
+# ------------------------------------------------------------ train seq2seq ----
+
+def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
+    """Seq2seq training on synthetic data: aligned pooling + k-fold CV.
+
+    One iteration x fold slice of the reference's 50x20 design (scaled by
+    cfg.n_iter/n_folds), full pipeline: per-patient PCA -> CCA align ->
+    pool -> Seq2SeqRNN with teacher forcing -> test accuracy.
+    """
+    import optax
+
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+    )
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.models import Seq2SeqRNN
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_seq2seq_eval_step,
+        make_seq2seq_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import (
+        fit as fit_loop,
+        make_optimizer,
+    )
+
+    ds = make_synthetic_patients(seed=cfg.seed, n_patients=3, n_classes=9,
+                                 trials_per_class=12, T=60,
+                                 channels=(64, 72, 56), latent_dim=10,
+                                 noise=0.5)
+    T = ds.X[0].shape[1]
+    max_k = 24
+
+    # per-patient PCA latents + CCA alignment to target (patient 0)
+    tarX = jnp.asarray(ds.X[0], jnp.float32)
+    tar_pca = _fit_pca_latents(tarX, 0.9, max_k)
+    tar_lat = _transform_latents(tar_pca, tarX, max_k)
+    ids = [jnp.asarray(i, jnp.int32) for i in ds.class_ids]
+    feats = [tar_lat]
+    for p in range(1, 3):
+        X = jnp.asarray(ds.X[p], jnp.float32)
+        pca = _fit_pca_latents(X, 0.9, max_k)
+        lat = _transform_latents(pca, X, max_k)
+        al = fit_cca_aligner(tar_lat, lat, ids[0], ids[p], ds.n_classes)
+        feats.append(transform_b_to_a(al, lat))
+
+    # labels: map phoneme digits 1..9 -> classes 0..8; start-token handling
+    # inside the model (num_classes=9)
+    y_seqs = [jnp.asarray(y - 1, jnp.int32) for y in ds.y_seq]
+    model = Seq2SeqRNN(
+        n_filters=cfg.n_filters, hidden=cfg.hidden, num_classes=9,
+        n_enc_layers=cfg.n_enc_layers, n_dec_layers=cfg.n_dec_layers,
+        kernel_size=cfg.kernel_size,
+    )
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
+                        end_factor=0.01, clip=cfg.clip)
+    train_step = make_seq2seq_train_step(model, tx)
+    eval_step = make_seq2seq_eval_step(model)
+
+    rng = np.random.default_rng(cfg.seed)
+    results = []
+    for it in range(cfg.n_iter):
+        tr_m, te_m = stratified_kfold_masks(
+            np.asarray(ds.class_ids[0]), cfg.n_folds, rng
+        )
+        for k in range(cfg.n_folds):
+            tr_idx = np.where(tr_m[k] > 0)[0]
+            te_idx = np.where(te_m[k] > 0)[0]
+            # pooled train: target train rows + all aligned cross rows
+            X_train = jnp.concatenate(
+                [feats[0][jnp.asarray(tr_idx)], feats[1], feats[2]]
+            )
+            y_train = jnp.concatenate(
+                [y_seqs[0][jnp.asarray(tr_idx)], y_seqs[1], y_seqs[2]]
+            )
+            X_test = feats[0][jnp.asarray(te_idx)]
+            y_test = y_seqs[0][jnp.asarray(te_idx)]
+
+            variables = model.init(
+                {"params": jax.random.key(cfg.seed + k), "tf": jax.random.key(1)},
+                X_train[:1], y_train[:1], 0.5,
+            )
+            state = create_train_state(model, variables, tx)
+            res = fit_loop(
+                state, train_step, eval_step,
+                (X_train, y_train), (X_test, y_test),
+                epochs=cfg.epochs, key=jax.random.key(cfg.seed + 100 + k),
+                monitor="acc", mode="max", batch_size=cfg.batch_size,
+                eval_every=max(1, cfg.epochs // 20),
+            )
+            results.append(res.best_metric)
+            if verbose:
+                print(f"iter {it} fold {k}: best test acc {res.best_metric:.3f}",
+                      flush=True)
+    out = np.asarray(results)
+    if cfg.out:
+        Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(cfg.out, out, delimiter=",")
+    return out
+
+
+# --------------------------------------------------------------- train ctc ----
+
+def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
+    """Pool/align CTC data per context (select_datamodule analog)."""
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+
+    pts = _synthetic_ctc(seed=cfg.seed)
+    X_t, y_t, il_t, ll_t = pts[0]
+    if cfg.context == "chance":
+        y_t = y_t[rng.permutation(len(y_t))]
+        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1]
+
+    if cfg.context == "patient":
+        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1]
+
+    # pooled contexts: per-patient PCA to a common width
+    max_k = 32
+    lats, metas = [], []
+    tar_lat = None
+    ids = []
+    for i, (X, y, il, ll) in enumerate(pts):
+        Xj = jnp.asarray(X)
+        pca = _fit_pca_latents(Xj, cfg.n_components, max_k)
+        lat = _transform_latents(pca, Xj, max_k)
+        lats.append(lat)
+        metas.append((y, il, ll))
+        enc = encode_label_sequences(y)
+        ids.append(enc)
+    uni = np.unique(np.concatenate(ids))
+    idsj = [jnp.asarray(to_class_ids(e, uni)[0]) for e in ids]
+
+    out = []
+    for i, lat in enumerate(lats):
+        if cfg.context == "aligned" and i > 0:
+            al = fit_cca_aligner(lats[0], lat, idsj[0], idsj[i], len(uni))
+            lat = transform_b_to_a(al, lat)
+        y, il, ll = metas[i]
+        out.append((np.asarray(lat, np.float32), y, il, ll))
+    return out, max_k
+
+
+def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
+    """CTC training/eval for one context; returns test PER per iteration."""
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_ctc_eval_step,
+        make_ctc_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import (
+        fit as fit_loop,
+        make_optimizer,
+    )
+
+    rng = np.random.default_rng(cfg.seed)
+    pers = []
+    for it in range(cfg.n_iter):
+        datasets, C = _prep_ctc_context(cfg, rng)
+        X_t, y_t, il_t, ll_t = datasets[0]
+        n = len(X_t)
+        tr, va, te = train_val_test_masks(n, rng, cfg.val_frac, cfg.test_frac)
+        tr_i, va_i, te_i = (np.where(m > 0)[0] for m in (tr, va, te))
+
+        def batch(idx):
+            return (
+                jnp.asarray(X_t[idx]),
+                jnp.asarray(y_t[idx]),
+                jnp.asarray(il_t[idx]),
+                jnp.asarray(ll_t[idx]),
+            )
+
+        train_batch = batch(tr_i)
+        if len(datasets) > 1:  # append pooled cross data to train
+            Xs = [X_t[tr_i]] + [d[0] for d in datasets[1:]]
+            ys = [y_t[tr_i]] + [d[1] for d in datasets[1:]]
+            ils = [il_t[tr_i]] + [d[2] for d in datasets[1:]]
+            lls = [ll_t[tr_i]] + [d[3] for d in datasets[1:]]
+            train_batch = tuple(
+                jnp.asarray(np.concatenate(a)) for a in (Xs, ys, ils, lls)
+            )
+
+        model = RealtimeRNN(
+            hidden=cfg.hidden, n_layers=cfg.n_layers, n_classes=11,
+            dropout=cfg.dropout, win_size=cfg.win_size, stride=cfg.stride,
+        )
+        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_steps,
+                            clip=cfg.clip)
+        variables = model.init(jax.random.key(cfg.seed + it), train_batch[0][:1])
+        state = create_train_state(model, variables, tx)
+        res = fit_loop(
+            state,
+            make_ctc_train_step(model, tx),
+            make_ctc_eval_step(model),
+            train_batch,
+            batch(va_i),
+            epochs=cfg.epochs,
+            key=jax.random.key(cfg.seed + 1000 + it),
+            monitor="per",
+            mode="min",
+            eval_every=max(1, cfg.epochs // 30),
+        )
+        test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, batch(te_i))
+        per = float(test_metrics["per"])
+        pers.append(per)
+        if verbose:
+            print(f"iter {it} [{cfg.context}]: test PER {per:.1f}%", flush=True)
+    return np.asarray(pers)
+
+
+# ---------------------------------------------------------------- tune ctc ----
+
+def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
+    from cross_patient_speech_decoding_tpu.sweep import (
+        Manifest,
+        SweepSpace,
+        run_sweep,
+        sample_trials,
+    )
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_bucket_trainer,
+    )
+
+    pts = _synthetic_ctc(seed=cfg.seed)
+    X, y, il, ll = pts[0]
+    rng = np.random.default_rng(cfg.seed)
+    tr, va, _ = train_val_test_masks(len(X), rng)
+    tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
+    train = tuple(jnp.asarray(a[tr_i]) for a in (X, y, il, ll))
+    val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
+
+    trainer = make_ctc_bucket_trainer(train, val, n_classes=11, seed=cfg.seed)
+    trials = sample_trials(SweepSpace(), cfg.n_trials, seed=cfg.seed)
+    Path(cfg.manifest).parent.mkdir(parents=True, exist_ok=True)
+    rungs = tuple(int(r) for r in cfg.rungs.split(","))
+    results = run_sweep(
+        trials, trainer, manifest=Manifest(cfg.manifest), rungs=rungs,
+        eta=cfg.eta,
+    )
+    if verbose and results:
+        best = results[0]
+        print(f"best val PER {best['metric']:.1f}% config {best['config']}",
+              flush=True)
+    return results
+
+
+# ------------------------------------------------------------- realtime sim ----
+
+def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
+    """Streaming decode over a synthetic recording; reports p50 step latency.
+
+    Latency is measured amortized on device (lax.scan over all bins / bin
+    count) because every host<->device transfer pays the tunnel's fixed
+    ~0.4s latency which no real deployment would see.
+    """
+    import scipy.signal as sps
+
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+    from cross_patient_speech_decoding_tpu.realtime import (
+        init_realtime_state,
+        simulate_stream,
+    )
+
+    rng = np.random.default_rng(cfg.seed)
+    model = RealtimeRNN(hidden=cfg.hidden, n_layers=cfg.n_layers,
+                        n_classes=cfg.n_classes)
+    bs, as_ = [], []
+    for lo, hi in ((0.35, 0.5), (0.5, 0.65), (0.65, 0.8)):
+        b, a = sps.butter(2, [lo, hi], btype="band")
+        bs.append(b)
+        as_.append(a)
+    b, a = np.stack(bs), np.stack(as_)
+
+    params = model.init(jax.random.key(cfg.seed),
+                        jnp.zeros((1, 60, cfg.n_channels)))
+    state = init_realtime_state(model, params, b, a, cfg.n_channels)
+    chunks = jnp.asarray(
+        rng.normal(size=(cfg.n_bins, cfg.n_channels, cfg.bin_len)), jnp.float32
+    )
+    bj, aj = jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)
+
+    sim = jax.jit(
+        lambda st, ch: simulate_stream(model, params, st, ch, bj, aj)
+    )
+    final, (emitted, logits, did_run) = sim(state, chunks)
+    _ = np.asarray(final.n_bins)  # force completion
+
+    t0 = time.perf_counter()
+    final, outs = sim(state, chunks)
+    _ = np.asarray(final.n_bins)
+    per_bin_ms = (time.perf_counter() - t0) / cfg.n_bins * 1e3
+    if verbose:
+        n_emit = int((np.asarray(outs[0]) >= 0).sum())
+        print(
+            f"streamed {cfg.n_bins} bins: {per_bin_ms:.3f} ms/bin amortized, "
+            f"{n_emit} symbols emitted",
+            flush=True,
+        )
+    return per_bin_ms

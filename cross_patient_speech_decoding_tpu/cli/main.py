@@ -1,0 +1,60 @@
+"""`cpsd` command-line interface.
+
+One CLI replaces the reference's ten scripts (argparse generation) and its
+Hydra generation (SURVEY.md §2.7, §5): subcommands take an optional
+``--config file.yaml`` plus Hydra-style ``key=value`` overrides.
+
+Examples::
+
+    cpsd svm-decode target_pt=S14 strategy=sep_align n_iter=50 n_folds=20
+    cpsd train-ctc context=aligned n_iter=5 epochs=100
+    cpsd tune-ctc n_trials=30 rungs=30,100
+    cpsd realtime-sim n_channels=111
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cross_patient_speech_decoding_tpu.utils.config import (
+    RealtimeSimConfig,
+    SVMDecodeConfig,
+    TrainCTCConfig,
+    TrainSeq2SeqConfig,
+    TuneCTCConfig,
+    load_config,
+)
+
+_COMMANDS = {
+    "svm-decode": (SVMDecodeConfig, "run_svm_decode"),
+    "train-seq2seq": (TrainSeq2SeqConfig, "run_train_seq2seq"),
+    "train-ctc": (TrainCTCConfig, "run_train_ctc"),
+    "tune-ctc": (TuneCTCConfig, "run_tune_ctc"),
+    "realtime-sim": (RealtimeSimConfig, "run_realtime_sim"),
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="cpsd",
+        description="TPU-native cross-patient speech decoding framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in _COMMANDS:
+        p = sub.add_parser(name)
+        p.add_argument("--config", default=None, help="YAML config file")
+        p.add_argument("overrides", nargs="*", help="key=value overrides")
+
+    args = parser.parse_args(argv)
+    cfg_cls, fn_name = _COMMANDS[args.command]
+    cfg = load_config(cfg_cls, args.config, args.overrides)
+
+    from cross_patient_speech_decoding_tpu.cli import experiments
+
+    result = getattr(experiments, fn_name)(cfg)
+    return 0 if result is not None else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""Electrode subsampling: sliding sub-grids, spatial averaging, Poisson-disk
+pitch sampling, and trial-count subsampling.
+
+Host-side index generation (tiny integer work) feeding device-side gathers —
+the TPU-native split of the reference's
+`/root/reference/aligned_decoding/processing_utils/` modules:
+- ``grid_subsampling.py:8-98``: slide winSize x winSize sub-grids over a 2-D
+  channel map (NaN edges), keep sub-grids containing >=1 significant
+  channel, return per-grid significant-channel index lists;
+- ``spatial_avg_subsampling.py:11-119``: non-overlapping contactSize^2
+  tiles (centered), averaging channels per tile to simulate bigger contacts;
+- ``poisson_disk_sampling.py:9-222``: Bridson dart-throwing at a physical
+  pitch with re-sampling retries when no significant channel is drawn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def grid_subsample_sig_channels(channel_map: np.ndarray, sig_channels,
+                                win_size: int):
+    """All win_size x win_size sub-grids containing significant channels.
+
+    Args:
+        channel_map: 2-D array of channel ids with NaN for missing corners.
+        sig_channels: 1-D array of significant channel ids.
+        win_size: sub-grid edge length.
+
+    Returns:
+        list of 1-D arrays: for each kept sub-grid, the indices INTO
+        ``sig_channels`` of the significant channels inside it (the
+        reference's contract — indices address the significant-channel
+        feature axis).
+    """
+    sig = np.asarray(sig_channels)
+    H, W = channel_map.shape
+    grids = []
+    for i in range(H - win_size + 1):
+        for j in range(W - win_size + 1):
+            block = channel_map[i : i + win_size, j : j + win_size].ravel()
+            chans = block[~np.isnan(block)].astype(np.int64)
+            idx = np.where(np.isin(sig, chans))[0]
+            if idx.size:
+                grids.append(idx)
+    return grids
+
+
+def spatial_avg_groups(channel_map: np.ndarray, contact_size: int):
+    """Non-overlapping contact_size^2 tiles, centered on the grid.
+
+    Returns list of 1-D channel-id arrays (one per tile with >=1 channel).
+    """
+    H, W = channel_map.shape
+    off_i = (H % contact_size) // 2
+    off_j = (W % contact_size) // 2
+    groups = []
+    for i in range(off_i, H - contact_size + 1, contact_size):
+        for j in range(off_j, W - contact_size + 1, contact_size):
+            block = channel_map[i : i + contact_size, j : j + contact_size]
+            chans = block[~np.isnan(block)].astype(np.int64).ravel()
+            if chans.size:
+                groups.append(chans)
+    return groups
+
+
+def spatial_avg_data(data: np.ndarray, groups, channel_ids=None):
+    """Average channel groups -> (trials, time, n_groups).
+
+    Args:
+        data: (trials, time, channels) array.
+        groups: list of channel-id arrays from :func:`spatial_avg_groups`.
+        channel_ids: ids corresponding to data's channel axis (default
+            0..C-1).
+    """
+    C = data.shape[-1]
+    ids = np.arange(C) if channel_ids is None else np.asarray(channel_ids)
+    cols = []
+    for g in groups:
+        sel = np.where(np.isin(ids, g))[0]
+        if sel.size:
+            cols.append(data[..., sel].mean(axis=-1))
+    return np.stack(cols, axis=-1)
+
+
+def poisson_disk_sample(positions: np.ndarray, radius: float,
+                        rng: np.random.Generator, k: int = 30,
+                        max_restarts: int = 20):
+    """Bridson dart-throwing over a discrete electrode layout.
+
+    Args:
+        positions: (n, 2) physical electrode coordinates (mm).
+        radius: minimum pairwise distance (pitch, mm).
+        rng: numpy Generator.
+        k: candidate darts per active point.
+        max_restarts: restarts before accepting the best draw so far.
+
+    Returns:
+        1-D array of selected electrode indices (a maximal-ish packing).
+    """
+    n = positions.shape[0]
+    best = np.array([], np.int64)
+    for _ in range(max_restarts):
+        selected = []
+        taken = np.zeros(n, bool)
+        active = [int(rng.integers(n))]
+        selected.append(active[0])
+        taken[active[0]] = True
+        while active:
+            ai = active[rng.integers(len(active))]
+            placed = False
+            for _ in range(k):
+                # candidate dart in the annulus [r, 2r) around the active pt
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = rng.uniform(radius, 2 * radius)
+                cand = positions[ai] + rad * np.array([np.cos(ang), np.sin(ang)])
+                # snap to nearest untaken electrode
+                d = np.linalg.norm(positions - cand, axis=1)
+                d[taken] = np.inf
+                j = int(np.argmin(d))
+                if not np.isfinite(d[j]):
+                    continue
+                # accept if far enough from all selected electrodes
+                dsel = np.linalg.norm(
+                    positions[selected] - positions[j], axis=1
+                )
+                if (dsel >= radius).all():
+                    selected.append(j)
+                    taken[j] = True
+                    active.append(j)
+                    placed = True
+                    break
+            if not placed:
+                active.remove(ai)
+        if len(selected) > len(best):
+            best = np.asarray(sorted(selected), np.int64)
+    return best
+
+
+def pitch_subsample_sig_channels(positions: np.ndarray, sig_channels,
+                                 pitch: float, rng: np.random.Generator,
+                                 max_retries: int = 10):
+    """Poisson-disk subsample; retry until >=1 significant channel is drawn
+    (reference poisson_disk_sampling.py:79-80 recursion)."""
+    sig = np.asarray(sig_channels)
+    for _ in range(max_retries):
+        sel = poisson_disk_sample(positions, pitch, rng)
+        idx = np.where(np.isin(sig, sel))[0]
+        if idx.size:
+            return sel, idx
+    return sel, idx
+
+
+def trial_subsample_indices(y: np.ndarray, n_trials: int,
+                            rng: np.random.Generator):
+    """Class-balanced random subset of n_trials indices (data-quantity
+    sweeps, aligned_decode_cross_patient_subsample.py:290-292)."""
+    y = np.asarray(y)
+    classes = np.unique(y)
+    per = max(1, n_trials // len(classes))
+    picks = []
+    for c in classes:
+        idx = np.where(y == c)[0]
+        picks.append(rng.permutation(idx)[:per])
+    out = np.concatenate(picks)
+    rng.shuffle(out)
+    return out[:n_trials]
+
+
+def knn_indices(positions: np.ndarray, query: np.ndarray, k: int):
+    """Brute-force k nearest electrodes to each query point
+    (poisson_disk_sampling.py:202-222)."""
+    d = np.linalg.norm(positions[None, :, :] - query[:, None, :], axis=-1)
+    return np.argsort(d, axis=1)[:, :k]

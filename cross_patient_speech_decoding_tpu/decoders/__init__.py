@@ -6,5 +6,16 @@ from cross_patient_speech_decoding_tpu.decoders.pooled import (
     decode_fold_sep_align,
     decode_fold_sep_dimred,
     decode_fold_joint_pca,
+    decode_fold_mcca,
     make_cv_decoder,
+)
+from cross_patient_speech_decoding_tpu.decoders.sklearn_compat import (
+    AlignCCA,
+    CrossPtDecoderSepAlign,
+    CrossPtDecoderSepDimRed,
+    CrossPtDecoderJointPCA,
+    CrossPtDecoderMCCA,
+    DimRedReshape,
+    JaxPCA,
+    NoCenterPCA,
 )

@@ -81,6 +81,8 @@ class DecodeConfig:
     lam: float = 1.0
     kernel: str = "rbf"
     tar_in_train: bool = True
+    mcca_regs: float = 0.5
+    mcca_pca_var: float = 1.0
 
 
 def _fit_pca_latents(X, n_comp, max_k, sample_mask=None):
@@ -240,10 +242,51 @@ def decode_fold_joint_pca(
     )
 
 
+def decode_fold_mcca(
+    tar: PatientArrays,
+    cross: Sequence[PatientArrays],
+    train_mask: jax.Array,
+    test_mask: jax.Array,
+    cfg: DecodeConfig,
+):
+    """One fold of the MCCA strategy (crossPtDecoder_mcca, :367-445).
+
+    All views (target train + cross) are jointly aligned into the shared
+    MCCA space; test trials are projected through the target's loading
+    (transform idx=0). n_comp must be an int for MCCA.
+    """
+    from cross_patient_speech_decoding_tpu.ops.mcca import (
+        fit_mcca_aligner,
+        mcca_transform,
+    )
+
+    T = tar.X.shape[1]
+    n_comp = int(cfg.n_comp) if not isinstance(cfg.n_comp, float) or cfg.n_comp >= 1 else 10
+    Xs = [tar.X] + [s.X for s in cross]
+    ids = [tar.y_align] + [s.y_align for s in cross]
+    masks = [train_mask] + [None] * len(cross)
+    st = fit_mcca_aligner(
+        Xs, ids, cfg.n_align_classes, n_comp,
+        regs=cfg.mcca_regs, pca_var=cfg.mcca_pca_var, sample_masks=masks,
+    )
+
+    tar_lat = mcca_transform(st, tar.X, 0)
+    cross_feats = [
+        mcca_transform(st, s.X, i + 1).reshape(s.X.shape[0], -1)
+        for i, s in enumerate(cross)
+    ]
+    cross_ys = [s.y for s in cross]
+    tar_flat = tar_lat.reshape(tar_lat.shape[0], -1)
+    return _pool_and_classify(
+        tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg
+    )
+
+
 _STRATEGIES = {
     "sep_align": decode_fold_sep_align,
     "sep_dimred": decode_fold_sep_dimred,
     "joint_pca": decode_fold_joint_pca,
+    "mcca": decode_fold_mcca,
 }
 
 

@@ -35,6 +35,7 @@ class FusedGRU(nn.Module):
 
     hidden: int
     reverse: bool = False
+    precision: Optional[jax.lax.Precision] = None  # None = MXU-fast default
 
     @nn.compact
     def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None):
@@ -45,12 +46,13 @@ class FusedGRU(nn.Module):
         bi = self.param("bi", nn.initializers.zeros, (3 * H,))
         bh = self.param("bh", nn.initializers.zeros, (3 * H,))
 
-        xi = (x.reshape(B * T, F) @ wi + bi).reshape(B, T, 3 * H)
+        mm = lambda a, b: jnp.matmul(a, b, precision=self.precision)
+        xi = (mm(x.reshape(B * T, F), wi) + bi).reshape(B, T, 3 * H)
         if h0 is None:
             h0 = jnp.zeros((B, H), x.dtype)
 
         def step(h, xt):
-            hz = h @ wh + bh
+            hz = mm(h, wh) + bh
             r = jax.nn.sigmoid(xt[:, :H] + hz[:, :H])
             z = jax.nn.sigmoid(xt[:, H : 2 * H] + hz[:, H : 2 * H])
             n = jnp.tanh(xt[:, 2 * H :] + r * hz[:, 2 * H :])

@@ -54,6 +54,10 @@ class RealtimeRNN(nn.Module):
 
     Attributes mirror the reference hparams: hidden_size, n_layers,
     n_classes (incl. blank), dropout, win_size, stride, bidirectional.
+
+    ``single_step`` shares parameters with ``__call__`` so the streaming
+    simulator (realtime/) can run one GRU step per new feature window with
+    carried hidden state — exactly the offline forward, unrolled online.
     """
 
     hidden: int
@@ -65,64 +69,44 @@ class RealtimeRNN(nn.Module):
     bidirectional: bool = False
     blank: int = 0
 
-    @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        """x (B, T, C) -> logits (B, n_win, n_classes)."""
-        B = x.shape[0]
-        xw = reformat_time_windows(x, self.win_size, self.stride)
-
+    def setup(self):
         n_dir = 2 if self.bidirectional else 1
-        h0 = self.param(
+        self.h0 = self.param(
             "h0",
             nn.initializers.xavier_uniform(),
             (self.n_layers * n_dir, 1, self.hidden),
         )
-        h0 = jnp.broadcast_to(h0, (self.n_layers * n_dir, B, self.hidden))
-
-        out, _ = StackedRNN(
+        self.rnn = StackedRNN(
             self.hidden,
             self.n_layers,
             dropout=self.dropout,
             bidirectional=self.bidirectional,
-        )(xw, h0, deterministic=deterministic)
-
-        logits = nn.Dense(
+        )
+        self.head = nn.Dense(
             self.n_classes,
             bias_init=_bias_blank_init(self.blank, self.n_classes),
-        )(out)
-        return logits
+        )
 
-    def streaming_cell(self, params):
-        """Return (init_state, step_fn) for single-window streaming decode.
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """x (B, T, C) -> logits (B, n_win, n_classes)."""
+        B = x.shape[0]
+        n_dir = 2 if self.bidirectional else 1
+        xw = reformat_time_windows(x, self.win_size, self.stride)
+        h0 = jnp.broadcast_to(self.h0, (self.n_layers * n_dir, B, self.hidden))
+        out, _ = self.rnn(xw, h0, deterministic=deterministic)
+        return self.head(out)
 
-        step_fn(state, window_feats (C*win,)) -> (state, logits (n_classes,)).
-        Used by the realtime simulator to run one GRU step per new feature
-        window with carried hidden state (the reference's closed-loop path).
+    def initial_hidden(self, batch: int = 1) -> jax.Array:
+        """Trainable initial hidden state broadcast to a batch."""
+        n_dir = 2 if self.bidirectional else 1
+        return jnp.broadcast_to(
+            self.h0, (self.n_layers * n_dir, batch, self.hidden)
+        )
+
+    def single_step(self, window: jax.Array, h: jax.Array):
+        """One streaming step. window (B, win*C), h (n_layers, B, H).
+
+        Returns (logits (B, n_classes), new_h). Requires unidirectional.
         """
-        if self.bidirectional:
-            raise ValueError("streaming requires a unidirectional model")
-
-        def init_state(batch: int = 1):
-            h0 = params["params"]["h0"]
-            return jnp.broadcast_to(h0, (self.n_layers, batch, self.hidden))
-
-        def step(state, window):
-            # run the stacked GRU for a single timestep
-            out, new_state = StackedRNN(
-                self.hidden, self.n_layers, dropout=0.0
-            ).apply(
-                {"params": _rnn_params(params)},
-                window[None, None, :],
-                state,
-                deterministic=True,
-            )
-            logits = out[0, 0] @ params["params"]["Dense_0"]["kernel"] + (
-                params["params"]["Dense_0"]["bias"]
-            )
-            return new_state, logits
-
-        return init_state, step
-
-
-def _rnn_params(params):
-    return params["params"]["StackedRNN_0"]
+        out, new_h = self.rnn(window[:, None, :], h, deterministic=True)
+        return self.head(out[:, 0, :]), new_h

@@ -16,3 +16,15 @@ from cross_patient_speech_decoding_tpu.ops.cca import (
     fit_cca_aligner,
     transform_b_to_a,
 )
+from cross_patient_speech_decoding_tpu.ops.joint_pca import (
+    JointPCAState,
+    joint_pca_fit,
+    joint_pca_transform,
+)
+from cross_patient_speech_decoding_tpu.ops.mcca import (
+    MCCAState,
+    mcca_fit,
+    mcca_transform,
+    fit_mcca_aligner,
+)
+from cross_patient_speech_decoding_tpu.ops.precision import hdot, hpinv

@@ -46,8 +46,9 @@ def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
     """
     b = np.asarray(b, np.float64)
     a = np.asarray(a, np.float64)
-    a = a / a[0]
-    b = b / a[0] if a[0] != 1.0 else b
+    a0 = a[0]
+    a = a / a0
+    b = b / a0
     n = max(len(a), len(b))
     a = np.pad(a, (0, n - len(a)))
     b = np.pad(b, (0, n - len(b)))
@@ -56,7 +57,7 @@ def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
     A[:, 0] = -a[1:]
     A[:-1, 1:] = np.eye(n - 2)
     B = b[1:] - a[1:] * b[0]
-    return np.linalg.solve(np.eye(n - 1) - A.T, B)
+    return np.linalg.solve(np.eye(n - 1) - A, B)
 
 
 def iir_filter_stateful(
@@ -113,6 +114,7 @@ def fir_filter(data: jax.Array, coefs: jax.Array) -> jax.Array:
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )  # (C, bands, T)
     return out.transpose(0, 2, 1)
 

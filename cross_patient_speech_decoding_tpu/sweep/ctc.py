@@ -1,0 +1,116 @@
+"""Vmapped CTC-RNN trial batches — one XLA program trains a whole bucket.
+
+Concrete ``train_bucket`` for :func:`sweep.search.run_sweep`, replacing the
+reference's per-trial Ray actors (`scripts/tune_ctc_rnn.py:550-634`): all
+trials that share architecture (hidden, layers, dropout — static shapes)
+train simultaneously, with per-trial learning rate / weight decay injected
+as traced optimizer hyperparameters (``optax.inject_hyperparams``) riding a
+vmap axis. Epochs run as a ``lax.scan``, so a full rung is a single device
+launch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cross_patient_speech_decoding_tpu.models.realtime_rnn import (
+    RealtimeRNN,
+    adjusted_input_lengths,
+)
+from cross_patient_speech_decoding_tpu.ops.ctc import ctc_loss_mean, greedy_decode
+from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
+
+
+def make_ctc_bucket_trainer(
+    train_batch,
+    val_batch,
+    n_classes: int,
+    *,
+    win_size: int = 14,
+    stride: int = 4,
+    blank: int = 0,
+    decay_steps: int = 100,
+    seed: int = 0,
+):
+    """Build train_bucket(configs, epochs) -> list[val_PER].
+
+    train_batch/val_batch: (x, labels, input_lens, label_lens) device
+    tuples shared by all trials (the reference trains trials on identical
+    fold data, tune_ctc_rnn.py:664-674).
+    """
+    x_tr, y_tr, il_tr, ll_tr = train_batch
+
+    def train_bucket(cfgs: Sequence[dict], epochs: int):
+        arch = cfgs[0]
+        model = RealtimeRNN(
+            hidden=arch["hidden"],
+            n_layers=arch["n_layers"],
+            n_classes=n_classes,
+            dropout=arch["dropout"],
+            win_size=win_size,
+            stride=stride,
+            blank=blank,
+        )
+        B = len(cfgs)
+        lrs = jnp.asarray([c["lr"] for c in cfgs], jnp.float32)
+        wds = jnp.asarray([c["weight_decay"] for c in cfgs], jnp.float32)
+
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=1e-3, weight_decay=1e-4
+        )
+
+        def init_one(key):
+            params = model.init({"params": key}, x_tr[:1])["params"]
+            return params, tx.init(params)
+
+        keys = jax.random.split(jax.random.key(seed), B)
+        params, opt_states = jax.vmap(init_one)(keys)
+
+        in_adj = adjusted_input_lengths(il_tr, win_size, stride)
+
+        def loss_fn(p, key):
+            logits = model.apply(
+                {"params": p}, x_tr, False, rngs={"dropout": key}
+            )
+            return ctc_loss_mean(logits, in_adj, y_tr, ll_tr, blank)
+
+        def epoch_step(carry, epoch_key):
+            params, opts = carry
+
+            def per_trial(p, o, lr, wd, key):
+                loss, grads = jax.value_and_grad(loss_fn)(p, key)
+                frac = jnp.minimum(o.count / decay_steps, 1.0)
+                o.hyperparams["learning_rate"] = lr * (1.0 - frac)
+                o.hyperparams["weight_decay"] = wd
+                updates, o2 = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o2, loss
+
+            tkeys = jax.random.split(epoch_key, B)
+            params, opts, losses = jax.vmap(per_trial)(
+                params, opts, lrs, wds, tkeys
+            )
+            return (params, opts), losses
+
+        ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
+        (params, _), _ = jax.lax.scan(epoch_step, (params, opt_states), ekeys)
+
+        x_v, y_v, il_v, ll_v = val_batch
+        in_adj_v = adjusted_input_lengths(il_v, win_size, stride)
+
+        def eval_one(p):
+            logits = model.apply({"params": p}, x_v, True)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            mask = (
+                jnp.arange(logits.shape[1])[None, :] < in_adj_v[:, None]
+            )
+            dec, lens = greedy_decode(lp, blank, mask)
+            return per_batch(dec, lens, y_v, ll_v)
+
+        pers = jax.jit(jax.vmap(eval_one))(params)
+        return [float(p) for p in pers]
+
+    return train_bucket

@@ -1,0 +1,167 @@
+"""Hyperparameter search — the TPU-native replacement for Ray Tune.
+
+The reference tunes the CTC RNN with Ray Tune actors (10 concurrent trials
+at 0.1 GPU each, `/root/reference/aligned_decoding/scripts/tune_ctc_rnn.py:
+43,664-676`, random search space :212-222, BOHB option :224-232) and with
+``BayesSearchCV(n_jobs=-1)`` for the classical pipeline. Both are
+process-level task parallelism shipping arrays between workers.
+
+TPU-native design: no actor system.
+- **Architecture bucketing**: trials sharing static shapes (hidden size,
+  layers, window geometry, dropout) form a bucket; within a bucket the
+  *continuous* hyperparameters (learning rate, weight decay) ride a vmap
+  axis via ``optax.inject_hyperparams``, so B trials train as ONE XLA
+  program on one chip — replacing 10 fractional-GPU actors with a single
+  batched program.
+- **Successive halving** across rungs: all trials train for r epochs,
+  the best 1/eta fraction continue (the BOHB-flavored scheduler the
+  reference reaches for, without the Ray machinery).
+- **Resumable manifest**: every finished trial is appended to a JSON
+  manifest keyed by its config hash; a restarted sweep skips completed
+  trials (realizing the commented-out resume scaffolding at
+  tune_ctc_rnn.py:336-399,905-921).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclass
+class SweepSpace:
+    """Search space: log-uniform continuous params + categorical arch params.
+
+    Defaults mirror the reference's CTC search space
+    (tune_ctc_rnn.py:212-222 / tune_ctc_rnn_config.yaml).
+    """
+
+    lr: tuple = (1e-4, 1e-2)  # log-uniform
+    weight_decay: tuple = (1e-6, 1e-3)  # log-uniform
+    hidden: tuple = (64, 128, 256)
+    n_layers: tuple = (1, 2, 3)
+    dropout: tuple = (0.2, 0.3, 0.4)
+
+
+def sample_trials(space: SweepSpace, n: int, seed: int = 0):
+    """n random configs; arch params categorical, lr/wd log-uniform."""
+    rng = np.random.default_rng(seed)
+    trials = []
+    for _ in range(n):
+        trials.append(
+            {
+                "lr": float(np.exp(rng.uniform(*np.log(space.lr)))),
+                "weight_decay": float(
+                    np.exp(rng.uniform(*np.log(space.weight_decay)))
+                ),
+                "hidden": int(rng.choice(space.hidden)),
+                "n_layers": int(rng.choice(space.n_layers)),
+                "dropout": float(rng.choice(space.dropout)),
+            }
+        )
+    return trials
+
+
+def _config_key(cfg: dict) -> str:
+    return hashlib.sha1(
+        json.dumps(cfg, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+class Manifest:
+    """Append-only JSON-lines record of finished trials (resume support)."""
+
+    def __init__(self, path: str | pathlib.Path | None):
+        self.path = pathlib.Path(path) if path else None
+        self.done: dict[str, dict] = {}
+        if self.path and self.path.exists():
+            for line in self.path.read_text().splitlines():
+                rec = json.loads(line)
+                self.done[rec["key"]] = rec
+
+    def completed(self, cfg: dict):
+        return self.done.get(_config_key(cfg))
+
+    def record(self, cfg: dict, metric: float, extra: dict | None = None):
+        rec = {"key": _config_key(cfg), "config": cfg, "metric": metric}
+        if extra:
+            rec.update(extra)
+        self.done[rec["key"]] = rec
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec
+
+
+def _bucket(trials):
+    buckets: dict[tuple, list] = {}
+    for t in trials:
+        k = (t["hidden"], t["n_layers"], t["dropout"])
+        buckets.setdefault(k, []).append(t)
+    return buckets
+
+
+def run_sweep(
+    trials: list[dict],
+    train_bucket: Callable,
+    *,
+    manifest: Manifest | None = None,
+    rungs: tuple = (1,),
+    eta: int = 3,
+) -> list[dict]:
+    """Run a sweep with optional successive halving.
+
+    Args:
+        trials: list of config dicts (see sample_trials).
+        train_bucket: callable(configs: list[dict], epochs: int) ->
+            list[float] — trains all same-architecture configs as one
+            vmapped program for ``epochs`` and returns the monitored metric
+            per trial (lower is better). This is where the model-specific
+            vmap lives (see sweep.ctc for the CTC RNN instance).
+        manifest: resume/record store.
+        rungs: epochs per successive-halving rung; a single rung means
+            plain random search at that budget.
+        eta: keep top 1/eta fraction between rungs.
+
+    Returns:
+        list of {"config", "metric"} sorted best-first.
+    """
+    manifest = manifest or Manifest(None)
+    live = []
+    results = []
+    for t in trials:
+        rec = manifest.completed(t)
+        if rec is not None:
+            results.append({"config": t, "metric": rec["metric"]})
+        else:
+            live.append(t)
+
+    for i, epochs in enumerate(rungs):
+        if not live:
+            break
+        scores = []
+        for arch_key, cfgs in _bucket(live).items():
+            metrics = train_bucket(cfgs, int(epochs))
+            scores.extend(zip(cfgs, metrics))
+        scores.sort(key=lambda cm: cm[1])
+        if i == len(rungs) - 1:
+            for cfg, m in scores:
+                results.append(
+                    {"config": cfg, "metric": float(m)}
+                )
+                manifest.record(cfg, float(m), {"epochs": int(epochs)})
+            live = []
+        else:
+            keep = max(1, len(scores) // eta)
+            live = [cfg for cfg, _ in scores[:keep]]
+
+    results.sort(key=lambda r: r["metric"])
+    return results

@@ -1,0 +1,163 @@
+"""Dataclass configs with YAML loading — one config system for all drivers.
+
+Replaces the reference's two coexisting generations (argparse string flags
+in the SVM/subsample scripts, Hydra/OmegaConf YAML in the CTC stack — see
+SURVEY.md §5 'Config / flag system') with plain dataclasses: defaults in
+code, overridable from a YAML file and/or ``key=value`` CLI pairs
+(Hydra-style), with ``???``-equivalent required-field validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any
+
+
+def _coerce(val: str, typ):
+    if typ is bool or isinstance(typ, type) and issubclass(typ, bool):
+        return str(val).lower() in ("1", "true", "yes", "y")
+    try:
+        if typ in (int, float, str):
+            return typ(val)
+    except (TypeError, ValueError):
+        pass
+    # int-or-float unions and strings fall through
+    for t in (int, float):
+        try:
+            return t(val)
+        except (TypeError, ValueError):
+            continue
+    return val
+
+
+def load_config(cls, yaml_path: str | None = None, overrides: list[str] | None = None):
+    """Build config dataclass from defaults <- YAML <- key=value overrides."""
+    values: dict[str, Any] = {}
+    if yaml_path:
+        import yaml
+
+        values.update(yaml.safe_load(Path(yaml_path).read_text()) or {})
+    for ov in overrides or []:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        k, v = ov.split("=", 1)
+        values[k] = v
+
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    names = {f.name for f in fields(cls)}
+    kwargs = {}
+    for k, v in values.items():
+        if k not in names:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        typ = hints.get(k, str)
+        kwargs[k] = _coerce(v, typ if isinstance(typ, type) else str) if isinstance(v, str) else v
+    cfg = cls(**kwargs)
+    for f in fields(cls):
+        if getattr(cfg, f.name) is REQUIRED:
+            raise ValueError(f"missing required config field {f.name!r}")
+    return cfg
+
+
+REQUIRED = object()  # sentinel: Hydra's ??? equivalent
+
+
+@dataclass
+class SVMDecodeConfig:
+    """Classical cross-patient decode (aligned_decode_svm_ncv.py analog)."""
+
+    target_pt: str = "S14"
+    data: str = "synthetic"  # path to pt_decoding_data pkl or 'synthetic'
+    p_ind: int = -1
+    lab_type: str = "phon"
+    algn_type: str = "phon_seq"
+    strategy: str = "sep_align"  # sep_align | sep_dimred | joint_pca | mcca
+    n_iter: int = 50
+    n_folds: int = 20
+    n_comp: float = 0.8
+    max_k: int = 32
+    lam: float = 1.0
+    kernel: str = "rbf"
+    tar_in_train: bool = True
+    random_data: bool = False  # -r control: replace cross data with noise
+    fold_batch: int = 20
+    seed: int = 0
+    out: str = "results/svm_decode.pkl"
+
+
+@dataclass
+class TrainSeq2SeqConfig:
+    """Seq2seq trainer (train_seq2seq.py analog)."""
+
+    data: str = "synthetic"
+    target_pt: str = "S14"
+    n_iter: int = 50
+    n_folds: int = 20
+    epochs: int = 500
+    batch_size: int = 5000
+    n_filters: int = 100
+    hidden: int = 500
+    n_enc_layers: int = 1
+    n_dec_layers: int = 1
+    kernel_size: int = 10
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    clip: float = 0.5
+    decay_iters: int = 20
+    pooled: bool = True  # cross-patient aligned pooling
+    seed: int = 0
+    out: str = "results/seq2seq.csv"
+
+
+@dataclass
+class TrainCTCConfig:
+    """CTC trainer (train_ctc_rnn.py analog)."""
+
+    data: str = "synthetic"
+    target_pt: str = "S14"
+    context: str = "aligned"  # chance | patient | unaligned | aligned
+    n_iter: int = 50
+    epochs: int = 300
+    hidden: int = 128
+    n_layers: int = 2
+    dropout: float = 0.3
+    win_size: int = 14
+    stride: int = 4
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    decay_steps: int = 100
+    clip: float = 1.0
+    n_components: float = 0.9
+    val_frac: float = 0.1
+    test_frac: float = 0.2
+    seed: int = 0
+    out: str = "results/ctc.h5"
+
+
+@dataclass
+class TuneCTCConfig:
+    """CTC hyperparameter sweep (tune_ctc_rnn.py analog)."""
+
+    data: str = "synthetic"
+    target_pt: str = "S14"
+    n_trials: int = 30
+    rungs: str = "30,100"  # successive-halving epoch rungs
+    eta: int = 3
+    seed: int = 0
+    manifest: str = "results/tune_manifest.jsonl"
+
+
+@dataclass
+class RealtimeSimConfig:
+    """Streaming decode simulation + latency report."""
+
+    n_channels: int = 64
+    bin_len: int = 10
+    n_bins: int = 400
+    hidden: int = 128
+    n_layers: int = 2
+    n_classes: int = 11
+    seed: int = 0

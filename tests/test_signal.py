@@ -99,7 +99,7 @@ def test_process_hg_chunk_chain():
     p1, s1 = process_hg_chunk(jnp.asarray(chunk1), jnp.asarray(b), jnp.asarray(a), state)
     p2, s2 = process_hg_chunk(jnp.asarray(chunk2), jnp.asarray(b), jnp.asarray(a), s1)
 
-    zi = np.asarray(state.zi)
+    zi = np.array(state.zi)  # writable copy
     for chunk, p_got in [(chunk1, p1), (chunk2, p2)]:
         ref = chunk - chunk.mean(axis=0, keepdims=True)
         filt = np.zeros((C, T, b.shape[0]))
