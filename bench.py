@@ -82,14 +82,16 @@ def main():
     _ = np.asarray(out.alignment.d[0])  # device stream is ordered: waits all
     fits_per_sec = ITERS * BATCH / (time.perf_counter() - t0)
 
-    # numpy oracle baseline (sequential, float64 — the reference's mode)
-    n_base = 3
-    t0 = time.perf_counter()
-    for i in range(n_base):
+    # numpy oracle baseline (sequential, float64 — the reference's mode);
+    # best-of-N single-fit time to be robust to host load spikes
+    times_base = []
+    for i in range(5):
+        t0 = time.perf_counter()
         _numpy_oracle_fit(
             X_a[i].astype(np.float64), X_b[i].astype(np.float64), ids, ids
         )
-    base_fits_per_sec = n_base / (time.perf_counter() - t0)
+        times_base.append(time.perf_counter() - t0)
+    base_fits_per_sec = 1.0 / min(times_base)
 
     print(
         json.dumps(

@@ -17,6 +17,9 @@ from __future__ import annotations
 import argparse
 import sys
 
+from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
+    SubsampleConfig,
+)
 from cross_patient_speech_decoding_tpu.utils.config import (
     RealtimeSimConfig,
     SVMDecodeConfig,
@@ -32,6 +35,10 @@ _COMMANDS = {
     "train-ctc": (TrainCTCConfig, "run_train_ctc"),
     "tune-ctc": (TuneCTCConfig, "run_tune_ctc"),
     "realtime-sim": (RealtimeSimConfig, "run_realtime_sim"),
+    "subsample-trials": (SubsampleConfig, "run_trial_subsample"),
+    "subsample-grid": (SubsampleConfig, "run_grid_subsample"),
+    "subsample-spatial": (SubsampleConfig, "run_spatial_avg"),
+    "subsample-pitch": (SubsampleConfig, "run_pitch_subsample"),
 }
 
 
@@ -52,7 +59,12 @@ def main(argv=None):
 
     from cross_patient_speech_decoding_tpu.cli import experiments
 
-    result = getattr(experiments, fn_name)(cfg)
+    if fn_name.startswith("run_") and not hasattr(experiments, fn_name):
+        from cross_patient_speech_decoding_tpu.cli import subsample_experiments
+
+        result = getattr(subsample_experiments, fn_name)(cfg)
+    else:
+        result = getattr(experiments, fn_name)(cfg)
     return 0 if result is not None else 1
 
 

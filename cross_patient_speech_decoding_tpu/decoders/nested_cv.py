@@ -1,0 +1,153 @@
+"""Nested cross-validation hyperparameter search — the BayesSearchCV analog.
+
+The reference tunes the classical pipeline with
+``BayesSearchCV(n_iter=25, n_points=5, n_jobs=-1)`` over aligner + pipeline
+params inside every outer fold
+(`/root/reference/aligned_decoding/scripts/aligned_decode_svm_ncv.py:
+148-195,398-404`) — thousands of sklearn fits farmed out to joblib
+processes.
+
+TPU-native design: the tuned hyperparameters (PCA variance fraction /
+component count, ridge strength, RBF bandwidth scale) are **traced scalars**
+in the fold program (static shapes come from ``max_k`` masking), so the
+whole candidates x inner-folds grid of one outer fold evaluates as a single
+``vmap x vmap`` XLA launch, and outer folds ride a third batch axis. The
+best candidate per outer fold is selected on device (argmax of mean inner
+accuracy) and refit on the full outer-train split — no process pool, no
+dispatch overhead, bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.decoders.pooled import (
+    DecodeConfig,
+    PatientArrays,
+    _STRATEGIES,
+)
+
+
+def sample_candidates(n: int, seed: int = 0, n_comp_range=(0.5, 0.99),
+                      lam_range=(1e-3, 1e2), gamma_scale_range=(0.1, 10.0)):
+    """Random candidate table (the reference's search space shape:
+    dimredreshape__n_components, svc C/gamma analogs)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "n_comp": jnp.asarray(
+            rng.uniform(*n_comp_range, n), jnp.float32
+        ),
+        "lam": jnp.asarray(
+            np.exp(rng.uniform(*np.log(lam_range), n)), jnp.float32
+        ),
+        "gamma_scale": jnp.asarray(
+            np.exp(rng.uniform(*np.log(gamma_scale_range), n)), jnp.float32
+        ),
+    }
+
+
+def inner_cv_masks(train_mask: np.ndarray, y: np.ndarray, n_inner: int,
+                   rng: np.random.Generator):
+    """Split ONE outer-fold train set into inner folds (masks over the full
+    trial axis; rows outside the outer-train set are excluded everywhere)."""
+    idx = np.where(train_mask > 0)[0]
+    perm = rng.permutation(idx)
+    inner_tr = np.zeros((n_inner, len(train_mask)))
+    inner_te = np.zeros((n_inner, len(train_mask)))
+    for f, chunk in enumerate(np.array_split(perm, n_inner)):
+        inner_te[f, chunk] = 1.0
+        inner_tr[f] = train_mask - inner_te[f]
+    return inner_tr, inner_te
+
+
+def make_nested_cv_decoder(
+    strategy: str,
+    cfg: DecodeConfig,
+    n_candidates: int = 25,
+    n_inner: int = 5,
+    candidate_batch: int = 5,
+    seed: int = 0,
+):
+    """Build a nested-CV decoder.
+
+    Returns run(tar, cross, train_masks, test_masks, inner_tr, inner_te) ->
+    (accs (n_outer,), best_idx (n_outer,)) where inner_tr/inner_te are
+    (n_outer, n_inner, N) mask stacks from :func:`inner_cv_masks`.
+    """
+    fold_fn = _STRATEGIES[strategy]
+    candidates = sample_candidates(n_candidates, seed)
+
+    def eval_candidate(tar, cross, tr, te, hp):
+        acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=hp)
+        return acc
+
+    def one_outer(tar, cross, tr, te, itr, ite):
+        # (n_inner,) accs for one candidate
+        def cand_score(hp):
+            inner = jax.vmap(
+                eval_candidate, in_axes=(None, None, 0, 0, None)
+            )(tar, cross, itr, ite, hp)
+            return jnp.mean(inner)
+
+        # chunk candidates to bound memory
+        def chunk_scores(hp_chunk):
+            return jax.vmap(cand_score)(hp_chunk)
+
+        n = n_candidates
+        pad = (-n) % candidate_batch
+        hp_pad = {
+            k: jnp.pad(v, (0, pad)).reshape(-1, candidate_batch)
+            for k, v in candidates.items()
+        }
+        scores = jax.lax.map(chunk_scores, hp_pad).reshape(-1)[:n]
+
+        best = jnp.argmax(scores)
+        best_hp = {k: v[best] for k, v in candidates.items()}
+        acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=best_hp)
+        return acc, best
+
+    def run(tar, cross, train_masks, test_masks, inner_tr, inner_te):
+        return jax.lax.map(
+            lambda args: one_outer(tar, cross, *args),
+            (train_masks, test_masks, inner_tr, inner_te),
+        )
+
+    return jax.jit(run), candidates
+
+
+def nested_cv_decode(
+    tar: PatientArrays,
+    cross: Sequence[PatientArrays],
+    cfg: DecodeConfig,
+    n_folds: int = 20,
+    n_candidates: int = 25,
+    n_inner: int = 5,
+    strategy: str = "sep_align",
+    seed: int = 0,
+):
+    """Convenience wrapper: generate masks, run nested CV, return accs."""
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+    )
+
+    rng = np.random.default_rng(seed)
+    y = np.asarray(tar.y)
+    tr, te = stratified_kfold_masks(y, n_folds, rng)
+    itr = np.zeros((n_folds, n_inner, len(y)))
+    ite = np.zeros((n_folds, n_inner, len(y)))
+    for k in range(n_folds):
+        itr[k], ite[k] = inner_cv_masks(tr[k], y, n_inner, rng)
+
+    run, cands = make_nested_cv_decoder(
+        strategy, cfg, n_candidates, n_inner, seed=seed
+    )
+    accs, best = run(
+        tar, tuple(cross),
+        jnp.asarray(tr), jnp.asarray(te),
+        jnp.asarray(itr), jnp.asarray(ite),
+    )
+    return np.asarray(accs), np.asarray(best), cands

@@ -110,6 +110,7 @@ def _pool_and_classify(
     cross_ys,
     cfg: DecodeConfig,
     feature_mask=None,
+    hp=None,
 ):
     """Pool flattened features, fit the classifier, score target test rows."""
     if cfg.tar_in_train:
@@ -123,11 +124,18 @@ def _pool_and_classify(
         y_pool = jnp.concatenate(list(cross_ys), axis=0)
         w_pool = jnp.ones(X_pool.shape[0], train_mask.dtype)
 
+    hp = hp or {}
+    gamma = None
+    if "gamma_scale" in hp and cfg.kernel == "rbf":
+        from cross_patient_speech_decoding_tpu.ops.classifiers import scale_gamma
+
+        gamma = hp["gamma_scale"] * scale_gamma(X_pool, w_pool, feature_mask)
     clf = kernel_classifier_fit(
         X_pool,
         y_pool,
         cfg.n_classes,
-        lam=cfg.lam,
+        gamma=gamma,
+        lam=hp.get("lam", cfg.lam),
         sample_mask=w_pool,
         feature_mask=feature_mask,
         kernel=cfg.kernel,
@@ -143,15 +151,18 @@ def decode_fold_sep_align(
     train_mask: jax.Array,
     test_mask: jax.Array,
     cfg: DecodeConfig,
+    hp=None,
 ):
     """One fold of the sepAlign (PCA + per-source CCA-to-target) strategy."""
+    hp = hp or {}
+    n_comp = hp.get("n_comp", cfg.n_comp)
     T = tar.X.shape[1]
-    tar_pca = _fit_pca_latents(tar.X, cfg.n_comp, cfg.max_k, train_mask)
+    tar_pca = _fit_pca_latents(tar.X, n_comp, cfg.max_k, train_mask)
     tar_lat = _transform_latents(tar_pca, tar.X, cfg.max_k)  # (N0, T, K)
 
     cross_feats, cross_ys = [], []
     for src in cross:
-        src_pca = _fit_pca_latents(src.X, cfg.n_comp, cfg.max_k)
+        src_pca = _fit_pca_latents(src.X, n_comp, cfg.max_k)
         src_lat = _transform_latents(src_pca, src.X, cfg.max_k)
         aligner = fit_cca_aligner(
             tar_lat,
@@ -169,7 +180,7 @@ def decode_fold_sep_align(
     feat_mask = jnp.tile(tar_pca.mask, T)
     return _pool_and_classify(
         tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg,
-        feature_mask=feat_mask,
+        feature_mask=feat_mask, hp=hp,
     )
 
 
@@ -179,12 +190,15 @@ def decode_fold_sep_dimred(
     train_mask: jax.Array,
     test_mask: jax.Array,
     cfg: DecodeConfig,
+    hp=None,
 ):
     """One fold of the sepDimRed (independent PCA, common width) strategy."""
+    hp = hp or {}
+    n_comp = hp.get("n_comp", cfg.n_comp)
     T = tar.X.shape[1]
-    tar_pca = _fit_pca_latents(tar.X, cfg.n_comp, cfg.max_k, train_mask)
+    tar_pca = _fit_pca_latents(tar.X, n_comp, cfg.max_k, train_mask)
 
-    src_pcas = [_fit_pca_latents(s.X, cfg.n_comp, cfg.max_k) for s in cross]
+    src_pcas = [_fit_pca_latents(s.X, n_comp, cfg.max_k) for s in cross]
     common = functools.reduce(
         jnp.minimum, [p.n_active for p in src_pcas], tar_pca.n_active
     )
@@ -201,7 +215,7 @@ def decode_fold_sep_dimred(
     feat_mask = jnp.tile(cmask, T)
     return _pool_and_classify(
         tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg,
-        feature_mask=feat_mask,
+        feature_mask=feat_mask, hp=hp,
     )
 
 
@@ -211,6 +225,7 @@ def decode_fold_joint_pca(
     train_mask: jax.Array,
     test_mask: jax.Array,
     cfg: DecodeConfig,
+    hp=None,
 ):
     """One fold of the jointDimRed (joint-PCA stitching) strategy.
 
@@ -218,12 +233,14 @@ def decode_fold_joint_pca(
     *train* trials + all cross trials; test trials are projected through the
     target read-in (transform idx=0).
     """
+    hp = hp or {}
+    n_comp = hp.get("n_comp", cfg.n_comp)
     T = tar.X.shape[1]
     Xs = [tar.X] + [s.X for s in cross]
     ids = [tar.y_align] + [s.y_align for s in cross]
     masks = [train_mask] + [None] * len(cross)
     st = joint_pca_fit(
-        Xs, ids, cfg.n_align_classes, cfg.n_comp,
+        Xs, ids, cfg.n_align_classes, n_comp,
         max_components=cfg.max_k, sample_masks=masks,
     )
 
@@ -238,7 +255,7 @@ def decode_fold_joint_pca(
     feat_mask = jnp.tile(k_mask, T)
     return _pool_and_classify(
         tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg,
-        feature_mask=feat_mask,
+        feature_mask=feat_mask, hp=hp,
     )
 
 
@@ -248,6 +265,7 @@ def decode_fold_mcca(
     train_mask: jax.Array,
     test_mask: jax.Array,
     cfg: DecodeConfig,
+    hp=None,
 ):
     """One fold of the MCCA strategy (crossPtDecoder_mcca, :367-445).
 
@@ -278,7 +296,8 @@ def decode_fold_mcca(
     cross_ys = [s.y for s in cross]
     tar_flat = tar_lat.reshape(tar_lat.shape[0], -1)
     return _pool_and_classify(
-        tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg
+        tar_flat, tar.y, train_mask, test_mask, cross_feats, cross_ys, cfg,
+        hp=hp,
     )
 
 
@@ -290,12 +309,23 @@ _STRATEGIES = {
 }
 
 
-def make_cv_decoder(strategy: str, cfg: DecodeConfig, fold_batch: int = 0):
+def make_cv_decoder(
+    strategy: str,
+    cfg: DecodeConfig,
+    fold_batch: int = 0,
+    mesh=None,
+    fold_axis: str = "data",
+):
     """Build a jitted CV decoder: (tar, cross, train_masks, test_masks) -> accs.
 
     ``train_masks``/``test_masks`` are (n_folds, N0); folds are a vmap axis.
     With ``fold_batch > 0`` folds are processed in lax.map chunks of that
     size to bound memory (each fold solves an (N_pool, N_pool) system).
+
+    With ``mesh`` given, the fold axis is sharded over the mesh's
+    ``fold_axis`` — folds are embarrassingly parallel (the reference farms
+    them out as SLURM job arrays, README.md:27), so the repeated-CV product
+    scales linearly across chips with zero collectives on the hot path.
     """
     fold_fn = _STRATEGIES[strategy]
 
@@ -316,4 +346,31 @@ def make_cv_decoder(strategy: str, cfg: DecodeConfig, fold_batch: int = 0):
             return accs.reshape(-1)[:n]
         return vm(tar, cross, train_masks, test_masks)
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    folds_sh = NamedSharding(mesh, P(fold_axis, None))
+    jitted = jax.jit(
+        run,
+        in_shardings=(repl, repl, folds_sh, folds_sh),
+        out_shardings=NamedSharding(mesh, P(fold_axis)),
+    )
+
+    def sharded_run(tar, cross, train_masks, test_masks):
+        n_dev = mesh.shape[fold_axis]
+        n = train_masks.shape[0]
+        pad = (-n) % n_dev
+        tr = jnp.pad(train_masks, ((0, pad), (0, 0)))
+        te = jnp.pad(test_masks, ((0, pad), (0, 0)))
+        accs = jitted(
+            jax.device_put(tar, repl),
+            jax.device_put(cross, repl),
+            jax.device_put(tr, folds_sh),
+            jax.device_put(te, folds_sh),
+        )
+        return accs[:n]
+
+    return sharded_run

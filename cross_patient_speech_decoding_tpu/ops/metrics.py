@@ -92,6 +92,30 @@ def pt_corr(
     return jnp.sum(r * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def pt_corr_multi(
+    latents,
+    class_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Pairwise alignment quality across >2 views
+    (reference ``pt_corr_multi``, alignment/metrics.py:41-68).
+
+    Args:
+        latents: sequence of (n_classes, T, K) aligned condition-averaged
+            trajectories, one per patient/view.
+
+    Returns:
+        (n_pairs, K) per-dim correlations for every unordered view pair,
+        ordered (0,1), (0,2), ..., (1,2), ...
+    """
+    import itertools
+
+    rows = [
+        pt_corr(latents[i], latents[j], class_mask)
+        for i, j in itertools.combinations(range(len(latents)), 2)
+    ]
+    return jnp.stack(rows)
+
+
 def edit_distance(
     pred: jax.Array,
     pred_len: jax.Array,

@@ -55,18 +55,29 @@ class PCAState(NamedTuple):
 def _resolve_n_active(evr: jax.Array, s: jax.Array, n_components, max_k: int):
     """Number of active components from an int / variance-fraction spec.
 
-    ``evr`` and ``s`` are full-length (min(N,F),) arrays.
+    ``evr`` and ``s`` are full-length (min(N,F),) arrays. ``n_components``
+    may also be a *traced* scalar (float dtype = variance fraction, int
+    dtype = count), which lets hyperparameter search vmap over candidate
+    component counts (the BayesSearchCV `dimredreshape__n_components` axis).
     """
+
+    def _fraction(frac):
+        csum = jnp.cumsum(evr)
+        # sklearn: searchsorted(cumsum, frac, side='right') + 1
+        n = jnp.searchsorted(csum, jnp.asarray(frac, csum.dtype), side="right") + 1
+        return jnp.minimum(n, max_k).astype(jnp.int32)
+
     if isinstance(n_components, float):
         if not (0.0 < n_components < 1.0):
             raise ValueError("float n_components must be in (0, 1)")
-        csum = jnp.cumsum(evr)
-        # sklearn: searchsorted(cumsum, frac, side='right') + 1
-        n = jnp.searchsorted(csum, jnp.asarray(n_components, csum.dtype), side="right") + 1
-        return jnp.minimum(n, max_k).astype(jnp.int32)
+        return _fraction(n_components)
     if n_components is None:
         n = jnp.sum(s > 0).astype(jnp.int32)  # rank
         return jnp.minimum(n, max_k)
+    if isinstance(n_components, jax.Array) and jnp.issubdtype(
+        n_components.dtype, jnp.floating
+    ):
+        return _fraction(n_components)
     return jnp.minimum(jnp.asarray(n_components, jnp.int32), max_k)
 
 

@@ -1,0 +1,127 @@
+"""TME surrogates preserve mode covariances while destroying cross-patient
+structure; sequence utils; pt_corr metrics; visualization smoke."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.data.surrogates import (
+    _mode_covs,
+    mode_shuffle_surrogate,
+    tme_surrogate,
+)
+from cross_patient_speech_decoding_tpu.ops.metrics import pt_corr, pt_corr_multi
+from cross_patient_speech_decoding_tpu.ops.sequences import (
+    flatten_fold_preds,
+    one_hot_seq,
+    pad_sequence_teacher_forcing,
+)
+
+
+def test_pad_sequence_teacher_forcing():
+    y = np.array([[1, 2, 3], [4, 5, 6]])
+    dec_in, tgt = pad_sequence_teacher_forcing(y, n_classes=9)
+    np.testing.assert_array_equal(dec_in, [[9, 1, 2], [9, 4, 5]])
+    np.testing.assert_array_equal(tgt, y)
+    oh = one_hot_seq(dec_in, 9)
+    assert oh.shape == (2, 3, 10)
+    assert oh[0, 0, 9] == 1.0
+
+
+def test_flatten_fold_preds():
+    out = flatten_fold_preds([np.ones((2, 3)), np.zeros(4)])
+    assert out.shape == (10,)
+
+
+def test_pt_corr_and_multi():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(5, 20, 4))
+    a = base + 0.05 * rng.normal(size=base.shape)
+    b = base + 0.05 * rng.normal(size=base.shape)
+    c = rng.normal(size=base.shape)
+    r_ab = np.asarray(pt_corr(jnp.asarray(a), jnp.asarray(b)))
+    assert (r_ab > 0.9).all()
+    multi = np.asarray(pt_corr_multi([jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)]))
+    assert multi.shape == (3, 4)
+    assert multi[0].mean() > 0.9  # (a,b) aligned
+    assert abs(multi[1].mean()) < 0.5  # (a,c) unrelated
+
+
+def test_tme_preserves_mode_covs_destroys_latents():
+    ds = make_synthetic_patients(seed=0, n_patients=1, n_classes=4,
+                                 trials_per_class=12, T=16, channels=(10,),
+                                 latent_dim=3, noise=0.2)
+    X = np.asarray(ds.X[0], np.float32)
+    surr, fit = tme_surrogate(X, steps=1500, seed=0)
+    assert surr.shape == X.shape
+    assert np.isfinite(surr).all()
+
+    # the max-ent solution's EXPECTED marginal eigenvalues match the data's
+    # (single draws fluctuate heavily by design — TME is a distribution)
+    for d, m in zip(fit["data_eigs"], fit["implied_eigs"]):
+        rel = np.abs(m - d) / np.maximum(d.max(), 1e-6)
+        assert rel.max() < 0.05, rel
+
+    # NOTE: TME preserves all three MARGINAL covariances (including the
+    # trial-mode covariance, where linear class separability lives) and
+    # destroys only beyond-marginal tensor interactions — so the right
+    # checks are distributional, not class-separation ones.
+
+    # different seeds -> genuinely different draws
+    from cross_patient_speech_decoding_tpu.data.surrogates import sample_tme
+
+    surr2 = sample_tme(fit, seed=1)
+    assert np.abs(surr - surr2).max() > 1e-3
+
+    # averaged over draws, the sample mode-1 scatter spectrum approaches
+    # the preserved marginal eigenvalues
+    covs_acc = None
+    n_draws = 20
+    for s in range(n_draws):
+        covs_d, _ = _mode_covs(sample_tme(fit, seed=100 + s))
+        covs_acc = covs_d[0] if covs_acc is None else covs_acc + covs_d[0]
+    # project onto the preserved eigenbasis (unbiased, unlike re-eiging)
+    Q1 = fit["Qs"][0]
+    proj = np.diag(Q1.T @ (covs_acc / n_draws) @ Q1)
+    m1 = fit["implied_eigs"][0]
+    # Gaussian sampling tolerance: var of a draw's marginal_i is
+    # 2*sum_jk v_ijk^2; the top marginal is often carried by ~one Kronecker
+    # coordinate, so its draw-to-draw std is ~sqrt(2)*m1
+    la, lb, lc = (np.asarray(v) for v in fit["log_abc"])
+    v = 1.0 / (
+        np.exp(la)[:, None, None]
+        + np.exp(lb)[None, :, None]
+        + np.exp(lc)[None, None, :]
+    )
+    std_i = np.sqrt(2.0 * (v**2).sum((1, 2))) / np.sqrt(n_draws)
+    k = 3
+    err = np.abs(proj[:k] - m1[:k])
+    tol = 4.0 * std_i[:k] + 0.02 * m1.max()
+    assert (err < tol).all(), (err, tol)
+
+
+def test_mode_shuffle_preserves_marginals():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(30, 8, 6))
+    s = mode_shuffle_surrogate(X, rng)
+    np.testing.assert_allclose(
+        np.sort(s[:, 0, 0]), np.sort(X[:, 0, 0]), atol=1e-12
+    )
+
+
+def test_visualization_smoke(tmp_path):
+    pytest.importorskip("matplotlib")
+    from cross_patient_speech_decoding_tpu.utils.visualization import (
+        plot_latent_trajectories_1d,
+        plot_latent_trajectories_2d,
+        plot_latent_trajectories_3d,
+    )
+
+    rng = np.random.default_rng(2)
+    lats = [rng.normal(size=(3, 10, 4)) for _ in range(2)]
+    plot_latent_trajectories_1d(lats, labels=["a", "b"], dims=2,
+                                save_path=tmp_path / "1d.png")
+    plot_latent_trajectories_2d(lats, save_path=tmp_path / "2d.png")
+    plot_latent_trajectories_3d(lats, save_path=tmp_path / "3d.png")
+    assert (tmp_path / "1d.png").exists()
