@@ -28,3 +28,34 @@ from cross_patient_speech_decoding_tpu.ops.mcca import (
     fit_mcca_aligner,
 )
 from cross_patient_speech_decoding_tpu.ops.precision import hdot, hpinv
+from cross_patient_speech_decoding_tpu.ops.classifiers import (
+    KernelClassifier,
+    kernel_classifier_fit,
+    kernel_classifier_predict,
+    balanced_sample_weights,
+    scale_gamma,
+)
+from cross_patient_speech_decoding_tpu.ops.ctc import (
+    ctc_loss_mean,
+    greedy_decode,
+    prefix_beam_search,
+)
+from cross_patient_speech_decoding_tpu.ops.metrics import (
+    balanced_accuracy,
+    cmat_acc,
+    confusion_matrix,
+    edit_distance,
+    per_batch,
+    pearson_r,
+    pt_corr,
+    pt_corr_multi,
+)
+from cross_patient_speech_decoding_tpu.ops.signal import (
+    car,
+    compute_bin_power,
+    fir_filter,
+    iir_filter_stateful,
+    init_stream_state,
+    lfilter_zi,
+    process_hg_chunk,
+)

@@ -114,7 +114,7 @@ def save_checkpoint(path: str, state: TrainState, metadata: dict | None = None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    ckptr.save(path, state, force=True)
     if metadata:
         import json, pathlib
 
@@ -126,4 +126,4 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, args=ocp.args.StandardRestore(template))
+    return ckptr.restore(path, template)
