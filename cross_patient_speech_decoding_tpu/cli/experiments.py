@@ -55,13 +55,14 @@ from cross_patient_speech_decoding_tpu.utils.labels import (
 
 def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
                           lab_type: str = "phon", algn_type: str = "phon_seq",
-                          seed: int = 0, random_data: bool = False):
+                          seed: int = 0, random_data: bool = False,
+                          noise: float = 0.6, trials_per_class: int = 15):
     """Assemble (tar, cross) PatientArrays from a pkl file or synthetic."""
     if data == "synthetic":
         ds = make_synthetic_patients(seed=seed, n_patients=4, n_classes=9,
-                                     trials_per_class=15, T=40,
+                                     trials_per_class=trials_per_class, T=40,
                                      channels=(96, 111, 80, 64),
-                                     latent_dim=10, noise=0.6)
+                                     latent_dim=10, noise=noise)
         Xs = ds.X
         ys = ds.y_first
         aligns = ds.y_seq

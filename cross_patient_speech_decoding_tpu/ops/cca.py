@@ -42,6 +42,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cross_patient_speech_decoding_tpu.ops.precision import hdot, hpinv
 
@@ -254,3 +255,65 @@ def transform_b_to_a(aligner: FittedAligner, X_b: jax.Array) -> jax.Array:
     (AlignCCA.py:92-94): ``X @ M_b @ pinv(M_a)``.
     """
     return hdot(X_b, aligner.alignment.proj_b_to_a)
+
+
+def transform_a_to_b(aligner: FittedAligner, X_a: jax.Array) -> jax.Array:
+    """return_space='a_to_b' (AlignCCA.py:94): ``X @ M_a @ pinv(M_b)``."""
+    return hdot(X_a, aligner.alignment.proj_a_to_b)
+
+
+def transform_shared(aligner: FittedAligner, X_a: jax.Array, X_b: jax.Array):
+    """return_space='shared' (AlignCCA.py:96-106): both datasets projected
+    into the common CCA space: (X_a @ M_a, X_b @ M_b)."""
+    return (
+        hdot(X_a, aligner.alignment.m_a),
+        hdot(X_b, aligner.alignment.m_b),
+    )
+
+
+def shared_trial_subselect_indices(
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    rng,
+):
+    """Per-class random matched-trial pairing (AlignCCA.py:205-232).
+
+    Host-side index generation for AlignCCA type='trial': for each class
+    present in both datasets, shuffle trials and keep the shared minimum
+    count. Returns (idx_a, idx_b) with equal lengths, classes concatenated
+    in sorted order (matching the reference's vstack-by-class layout).
+    """
+    ids_a = np.asarray(ids_a)
+    ids_b = np.asarray(ids_b)
+    sel_a, sel_b = [], []
+    for c in np.intersect1d(ids_a, ids_b):
+        cur_a = rng.permutation(np.where(ids_a == c)[0])
+        cur_b = rng.permutation(np.where(ids_b == c)[0])
+        m = min(len(cur_a), len(cur_b))
+        sel_a.append(cur_a[:m])
+        sel_b.append(cur_b[:m])
+    return np.concatenate(sel_a), np.concatenate(sel_b)
+
+
+def fit_cca_aligner_trial(
+    X_a: jax.Array,
+    X_b: jax.Array,
+    idx_a,
+    idx_b,
+    method: str = "gram",
+) -> FittedAligner:
+    """AlignCCA type='trial': CCA on matched trials instead of class means.
+
+    ``idx_a``/``idx_b`` come from :func:`shared_trial_subselect_indices`
+    (the RNG lives host-side; the reference used global np.random,
+    AlignCCA.py:225-226). Trial tensors are (N, T, K); time folds into
+    rows like the class mode.
+    """
+    La = X_a[jnp.asarray(idx_a)].reshape(-1, X_a.shape[-1])
+    Lb = X_b[jnp.asarray(idx_b)].reshape(-1, X_b.shape[-1])
+    alignment = cca_align(La, Lb, method=method)
+    return FittedAligner(
+        alignment=alignment,
+        shared_mask=jnp.ones((1,), X_a.dtype),
+    )
+

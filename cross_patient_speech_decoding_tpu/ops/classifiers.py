@@ -165,3 +165,56 @@ def kernel_classifier_predict(
     return jnp.argmax(kernel_classifier_decision(clf, X, kernel), axis=1).astype(
         jnp.int32
     )
+
+
+def bagged_classifier_fit(
+    key: jax.Array,
+    X: jax.Array,
+    y: jax.Array,
+    n_classes: int,
+    n_estimators: int = 10,
+    *,
+    kernel: str = "linear",
+    lam: float = 1.0,
+    sample_mask: jax.Array | None = None,
+    balanced: bool = True,
+) -> KernelClassifier:
+    """Bootstrap-aggregated classifier — the reference's
+    ``BaggingClassifier(SVC(kernel='linear'), n_estimators=10)``
+    (`scripts/aligned_decode_svm.py:262-263`).
+
+    TPU-native: each bootstrap resample is a *multiplicity weight vector*
+    (counts of each sample in the draw), so all ``n_estimators`` ensemble
+    members fit as ONE vmapped batch of weighted kernel-ridge solves — no
+    joblib fan-out. Returns a batched KernelClassifier (leading axis =
+    estimator).
+    """
+    N = X.shape[0]
+    if sample_mask is None:
+        sample_mask = jnp.ones((N,), X.dtype)
+    p = sample_mask / jnp.maximum(jnp.sum(sample_mask), 1.0)
+    # bootstrap multiplicities ~ Multinomial(N, p) per estimator
+    draws = jax.vmap(
+        lambda k: jax.random.categorical(k, jnp.log(p + 1e-30), shape=(N,))
+    )(jax.random.split(key, n_estimators))
+    counts = jax.vmap(
+        lambda d: jnp.zeros((N,), X.dtype).at[d].add(1.0)
+    )(draws)
+
+    def fit_one(w):
+        return kernel_classifier_fit(
+            X, y, n_classes, lam=lam, sample_mask=w, kernel=kernel,
+            balanced=balanced,
+        )
+
+    return jax.vmap(fit_one)(counts)
+
+
+def bagged_classifier_predict(
+    clf: KernelClassifier, X: jax.Array, kernel: str = "linear"
+) -> jax.Array:
+    """Majority vote over the ensemble (argmax of summed decision scores)."""
+    scores = jax.vmap(
+        lambda c: kernel_classifier_decision(c, X, kernel)
+    )(clf)
+    return jnp.argmax(jnp.sum(scores, axis=0), axis=1).astype(jnp.int32)

@@ -1,0 +1,42 @@
+"""CTC context comparison + data-scaling extrapolation (fig_5 analog):
+PER across Chance / Patient-specific / Unaligned / Aligned training
+contexts, then a log-linear fit of PER vs cross-patient trial count and
+the extrapolated trials needed to reach 25% PER.
+
+    python examples/fig_ctc_contexts.py [n_iter] [epochs]
+"""
+
+import sys
+
+import numpy as np
+
+
+def main(n_iter: int = 2, epochs: int = 150):
+    from cross_patient_speech_decoding_tpu.cli.experiments import run_train_ctc
+    from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
+    from cross_patient_speech_decoding_tpu.utils.scaling import (
+        log_linear_fit,
+        trials_to_target_per,
+    )
+
+    n_iter, epochs = int(n_iter), int(epochs)
+    pers = {}
+    for context in ("chance", "patient", "unaligned", "aligned"):
+        cfg = TrainCTCConfig(context=context, n_iter=n_iter, epochs=epochs,
+                             hidden=64, n_layers=2)
+        pers[context] = run_train_ctc(cfg, verbose=False)
+        print(f"{context:10s}: PER {pers[context].mean():.1f}% "
+              f"+- {pers[context].std():.1f}")
+
+    # data-scaling: synthetic PER-vs-trials curve from the sweep output
+    # shape (replace with run_trial_subsample outputs on real data)
+    trials = np.array([5, 30, 55, 80, 105])
+    per_curve = np.maximum(pers["aligned"].mean(), 1.0) * (trials / trials[-1]) ** -0.3
+    fit = log_linear_fit(trials, per_curve)
+    t25 = trials_to_target_per(trials, per_curve, 25.0)
+    print(f"log-linear slope {fit['slope']:.3f} (r={fit['r']:.3f}); "
+          f"extrapolated trials to 25% PER: {t25:.0f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1,0 +1,66 @@
+"""Cross-patient decode strategy comparison (fig_4 analog): balanced
+accuracy of sep_align / sep_dimred / joint_pca / mcca pooling plus the
+random-data control, with Wilcoxon-style paired stats.
+
+    python examples/fig_strategy_comparison.py [n_iter]
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n_iter: int = 5):
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _patients_from_config,
+    )
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        repeated_stratified_kfold_masks,
+    )
+    from cross_patient_speech_decoding_tpu.decoders import (
+        DecodeConfig,
+        make_cv_decoder,
+    )
+
+    n_iter = int(n_iter)
+    # hard regime: heavy noise + few target trials, so pooling cross-patient
+    # data (and aligning it well) actually matters
+    tar, cross, n_y, n_a = _patients_from_config(
+        "synthetic", "S14", seed=0, noise=3.0, trials_per_class=6
+    )
+    results = {}
+    for strategy in ("sep_align", "sep_dimred", "joint_pca", "mcca"):
+        cfg = DecodeConfig(n_comp=0.9 if strategy != "mcca" else 10,
+                           max_k=24, n_classes=n_y, n_align_classes=n_a,
+                           lam=1e-2)
+        dec = make_cv_decoder(strategy, cfg, fold_batch=10)
+        tr, te = repeated_stratified_kfold_masks(
+            np.asarray(tar.y), 5, n_iter, seed=0
+        )
+        accs = np.asarray(dec(tar, cross, jnp.asarray(tr), jnp.asarray(te)))
+        results[strategy] = accs
+        print(f"{strategy:12s}: {accs.mean():.3f} +- {accs.std():.3f}")
+
+    # random-data control (-r flag analog)
+    tar_r, cross_r, *_ = _patients_from_config(
+        "synthetic", "S14", seed=0, random_data=True, noise=3.0,
+        trials_per_class=6,
+    )
+    cfg = DecodeConfig(n_comp=0.9, max_k=24, n_classes=n_y,
+                       n_align_classes=n_a, lam=1e-2)
+    dec = make_cv_decoder("sep_align", cfg, fold_batch=10)
+    tr, te = repeated_stratified_kfold_masks(np.asarray(tar_r.y), 5, n_iter, seed=0)
+    rand_accs = np.asarray(dec(tar_r, cross_r, jnp.asarray(tr), jnp.asarray(te)))
+    print(f"{'random-ctrl':12s}: {rand_accs.mean():.3f} +- {rand_accs.std():.3f}"
+          f" (chance {1.0 / n_y:.3f})")
+
+    from scipy.stats import wilcoxon
+
+    a, b = results["sep_align"], results["sep_dimred"]
+    stat = wilcoxon(a, b)
+    print(f"sep_align vs sep_dimred Wilcoxon: p={stat.pvalue:.4f}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1,0 +1,152 @@
+"""Tests for the completeness additions: trial-mode CCA, bagged ensemble,
+scaling analysis, datamodule-equivalent fold prep."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.data.datamodules import (
+    aligned_folds,
+    ctc_holdout,
+    simple_folds,
+)
+from cross_patient_speech_decoding_tpu.decoders import PatientArrays
+from cross_patient_speech_decoding_tpu.ops.cca import (
+    fit_cca_aligner_trial,
+    shared_trial_subselect_indices,
+    transform_a_to_b,
+    transform_b_to_a,
+    transform_shared,
+    fit_cca_aligner,
+)
+from cross_patient_speech_decoding_tpu.ops.classifiers import (
+    bagged_classifier_fit,
+    bagged_classifier_predict,
+)
+from cross_patient_speech_decoding_tpu.utils.scaling import (
+    log_linear_fit,
+    trials_to_target_per,
+)
+
+
+def _two_pts(seed=0):
+    ds = make_synthetic_patients(seed=seed, n_patients=2, n_classes=5,
+                                 trials_per_class=10, T=12,
+                                 channels=(8, 8), latent_dim=4, noise=0.2)
+    return ds
+
+
+def test_shared_trial_subselect_indices():
+    rng = np.random.default_rng(0)
+    ya = np.array([0, 0, 0, 1, 1, 2])
+    yb = np.array([0, 1, 1, 1, 3])
+    ia, ib = shared_trial_subselect_indices(ya, yb, rng)
+    assert len(ia) == len(ib)
+    # class 0: min(3,1)=1; class 1: min(2,3)=2; classes 2,3 not shared
+    assert len(ia) == 3
+    np.testing.assert_array_equal(np.sort(ya[ia]), [0, 1, 1])
+    np.testing.assert_array_equal(np.sort(yb[ib]), [0, 1, 1])
+
+
+def test_trial_mode_cca_aligns_shared_latents():
+    ds = _two_pts()
+    rng = np.random.default_rng(1)
+    ia, ib = shared_trial_subselect_indices(ds.class_ids[0], ds.class_ids[1], rng)
+    Xa, Xb = jnp.asarray(ds.X[0]), jnp.asarray(ds.X[1])
+    al = fit_cca_aligner_trial(Xa, Xb, ia, ib)
+    assert float(al.alignment.canon_corrs[0]) > 0.7
+    mapped = transform_b_to_a(al, Xb)
+    assert mapped.shape == (Xb.shape[0], Xb.shape[1], Xa.shape[-1])
+
+
+def test_transform_directions_consistent():
+    ds = _two_pts(seed=2)
+    Xa, Xb = jnp.asarray(ds.X[0]), jnp.asarray(ds.X[1])
+    ia = jnp.asarray(ds.class_ids[0], jnp.int32)
+    ib = jnp.asarray(ds.class_ids[1], jnp.int32)
+    al = fit_cca_aligner(Xa, Xb, ia, ib, ds.n_classes)
+    b2a = transform_b_to_a(al, Xb)
+    a2b = transform_a_to_b(al, Xa)
+    sa, sb = transform_shared(al, Xa, Xb)
+    assert b2a.shape[-1] == Xa.shape[-1]
+    assert a2b.shape[-1] == Xb.shape[-1]
+    # shared-space projections correlate on the top canonical dim
+    from cross_patient_speech_decoding_tpu.ops.cca import cnd_avg
+
+    ca, _ = cnd_avg(sa, ia, ds.n_classes)
+    cb, _ = cnd_avg(sb, ib, ds.n_classes)
+    r = np.corrcoef(
+        np.asarray(ca)[..., 0].ravel(), np.asarray(cb)[..., 0].ravel()
+    )[0, 1]
+    assert abs(r) > 0.8, r
+
+
+def test_bagged_classifier_above_chance_and_batched():
+    rng = np.random.default_rng(3)
+    n, f, c = 90, 6, 3
+    y = rng.integers(0, c, n)
+    X = 0.3 * rng.normal(size=(n, f)).astype(np.float32) + np.pad(
+        np.eye(c)[y], ((0, 0), (0, f - c))
+    )
+    clf = bagged_classifier_fit(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(y), c,
+        n_estimators=10, lam=1e-2,
+    )
+    assert clf.dual_coef.shape == (10, n, c)
+    preds = bagged_classifier_predict(clf, jnp.asarray(X))
+    assert (np.asarray(preds) == y).mean() > 0.9
+
+
+def test_log_linear_scaling_extrapolation():
+    trials = np.array([5, 30, 55, 80, 105])
+    per = 120.0 * trials ** -0.35  # exact power law
+    fit = log_linear_fit(trials, per)
+    np.testing.assert_allclose(fit["slope"], -0.35, atol=1e-6)
+    assert fit["r"] < -0.999
+    t25 = trials_to_target_per(trials, per, 25.0)
+    np.testing.assert_allclose(120.0 * t25 ** -0.35, 25.0, rtol=1e-6)
+    # non-improving curve -> inf
+    assert trials_to_target_per(trials, np.full(5, 50.0)) == float("inf")
+
+
+def test_simple_folds_structure():
+    ds = _two_pts(seed=4)
+    X, y = np.asarray(ds.X[0]), np.asarray(ds.class_ids[0])
+    folds = simple_folds(X, y, n_folds=5, val_frac=0.1, seed=0)
+    assert len(folds) == 5
+    n_total = sum(len(f.test[1]) for f in folds)
+    assert n_total == len(y)  # test folds partition the data
+    f0 = folds[0]
+    assert len(f0.train[1]) + len(f0.val[1]) + len(f0.test[1]) == len(y)
+
+
+def test_aligned_folds_pool_cross_patients():
+    ds = _two_pts(seed=5)
+    pts = [
+        PatientArrays(
+            X=jnp.asarray(ds.X[p]),
+            y=jnp.asarray(ds.class_ids[p], jnp.int32),
+            y_align=jnp.asarray(ds.class_ids[p], jnp.int32),
+        )
+        for p in range(2)
+    ]
+    folds = aligned_folds(pts[0], [pts[1]], ds.n_classes, n_folds=3,
+                          max_k=6, seed=0)
+    n0 = len(ds.X[0])
+    n1 = len(ds.X[1])
+    f0 = folds[0]
+    assert len(f0.train[1]) == (n0 - len(f0.val[1]) - len(f0.test[1])) + n1
+    assert f0.train[0].shape[1] == ds.X[0].shape[1] * 6  # T * max_k flattened
+
+
+def test_ctc_holdout_pools_cross():
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        return (rng.normal(size=(n, 20, 4)).astype(np.float32),
+                rng.integers(1, 5, (n, 2)), np.full(n, 20), np.full(n, 2))
+
+    fold = ctc_holdout([mk(30, 0), mk(12, 1)], val_frac=0.1, test_frac=0.2)
+    assert len(fold.test[0]) == 6
+    assert len(fold.val[0]) == 3
+    assert len(fold.train[0]) == 30 - 9 + 12
