@@ -45,7 +45,7 @@ def main():
     from cross_patient_speech_decoding_tpu.ops.cca import fit_cca_aligner
 
     N, T, K, C = 150, 200, 40, 27
-    BATCH = 64
+    BATCH = 128
     rng = np.random.default_rng(0)
 
     latent = rng.normal(size=(C, T, 8))

@@ -126,6 +126,22 @@ def masked_pinv(M: jax.Array) -> jax.Array:
     return hpinv(M)
 
 
+def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
+    """pinv via normal equations for a column-masked full-column-rank M.
+
+    pinv(M) = (M^T M)^-1 M^T with identity padding on masked columns (so
+    masked columns map to exact zero rows, preserving the
+    ``pinv([A, 0]) == [pinv(A); 0]`` contract). One batched solve instead
+    of an SVD — ~2x faster on TPU for the small (K, D) manifold matrices;
+    accuracy ~ eps * cond(M)^2, fine for the well-conditioned alignment
+    path (used by method='gram').
+    """
+    g = hdot(M.T, M)
+    g = g + jnp.diag(1.0 - col_mask)
+    sol = jnp.linalg.solve(g, M.T)
+    return sol * col_mask[:, None]
+
+
 def cca_align(
     L_a: jax.Array,
     L_b: jax.Array,
@@ -159,8 +175,14 @@ def cca_align(
     m_b = hdot(pinv_rb, vt.T[:, :D]) * col_mask[None, :]
     corrs = jnp.clip(s[:D], 0.0, 1.0) * col_mask
 
-    proj_b_to_a = hdot(m_b, masked_pinv(m_a))
-    proj_a_to_b = hdot(m_a, masked_pinv(m_b))
+    if method == "gram":
+        pinv_ma = _fast_masked_pinv(m_a, col_mask)
+        pinv_mb = _fast_masked_pinv(m_b, col_mask)
+    else:
+        pinv_ma = masked_pinv(m_a)
+        pinv_mb = masked_pinv(m_b)
+    proj_b_to_a = hdot(m_b, pinv_ma)
+    proj_a_to_b = hdot(m_a, pinv_mb)
     return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
 
 
