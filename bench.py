@@ -63,9 +63,9 @@ def main():
     ids_b = jnp.asarray(np.tile(ids, (BATCH, 1)))
     ids_a = ids_b
 
-    fit = jax.jit(
-        jax.vmap(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C))
-    )
+    # native batch axis (not vmap): lets the Pallas Jacobi eigensolver in
+    # the gram path run at full block width
+    fit = jax.jit(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C))
     Xa, Xb = jnp.asarray(X_a), jnp.asarray(X_b)
 
     # warmup/compile; force completion via a tiny host read — on the axon

@@ -69,19 +69,25 @@ class CCAAlignment(NamedTuple):
 
 
 def _masked_center_cols(L: jax.Array, row_mask: jax.Array | None):
-    """Center each column over (valid) rows; zero invalid rows exactly."""
+    """Center each column over (valid) rows; zero invalid rows exactly.
+
+    Batched: L (..., R, K), row_mask (..., R).
+    """
     if row_mask is None:
-        return L - jnp.mean(L, axis=0, keepdims=True)
-    w = row_mask.astype(L.dtype)[:, None]
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    mean = jnp.sum(L * w, axis=0, keepdims=True) / n
+        return L - jnp.mean(L, axis=-2, keepdims=True)
+    w = row_mask.astype(L.dtype)[..., None]
+    n = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1.0)
+    mean = jnp.sum(L * w, axis=-2, keepdims=True) / n
     return (L - mean) * w
 
 
 def _rank_tol(s: jax.Array, n_rows, n_cols) -> jax.Array:
-    """numpy matrix_rank default tolerance: smax * max(M, N) * eps."""
+    """numpy matrix_rank default tolerance: smax * max(M, N) * eps.
+
+    Batched: s (..., K) -> tol (..., 1) per matrix.
+    """
     eps = jnp.finfo(s.dtype).eps
-    return jnp.max(s) * max(n_rows, n_cols) * eps
+    return jnp.max(s, axis=-1, keepdims=True) * max(n_rows, n_cols) * eps
 
 
 def _orthonormalize(L: jax.Array, method: str = "svd"):
@@ -97,27 +103,29 @@ def _orthonormalize(L: jax.Array, method: str = "svd"):
     cost of squaring the condition number; fine for the well-conditioned
     class-averaged latents of the alignment path.
     """
+    R, K = L.shape[-2], L.shape[-1]
     if method == "gram":
-        g = hdot(L.T, L)
-        w, v = jnp.linalg.eigh(g)
-        s2 = jnp.maximum(w[::-1], 0.0)
-        s = jnp.sqrt(s2)
-        v = v[:, ::-1]
-        tol = _rank_tol(s, L.shape[0], L.shape[1])
+        from cross_patient_speech_decoding_tpu.ops.jacobi import batched_eigh
+
+        g = hdot(L.swapaxes(-1, -2), L)
+        w, v = batched_eigh(g)
+        s = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
+        v = v[..., ::-1]
+        tol = _rank_tol(s, R, K)
         keep = (s > tol).astype(L.dtype)
-        rank = jnp.sum(keep).astype(jnp.int32)
+        rank = jnp.sum(keep, axis=-1).astype(jnp.int32)
         s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
-        q = hdot(L, v * (s_inv * keep)[None, :])
-        pinv_r = v * (s_inv * keep)[None, :]
+        q = hdot(L, v * (s_inv * keep)[..., None, :])
+        pinv_r = v * (s_inv * keep)[..., None, :]
         return q, pinv_r, rank
     u, s, vt = jnp.linalg.svd(L, full_matrices=False)
-    tol = _rank_tol(s, L.shape[0], L.shape[1])
+    tol = _rank_tol(s, R, K)
     keep = (s > tol).astype(L.dtype)
-    rank = jnp.sum(keep).astype(jnp.int32)
-    q = u * keep[None, :]
+    rank = jnp.sum(keep, axis=-1).astype(jnp.int32)
+    q = u * keep[..., None, :]
     s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
     # pinv(R) = V diag(1/s), with null directions exactly zeroed
-    pinv_r = vt.T * (s_inv * keep)[None, :]
+    pinv_r = vt.swapaxes(-1, -2) * (s_inv * keep)[..., None, :]
     return q, pinv_r, rank
 
 
@@ -136,10 +144,11 @@ def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
     accuracy ~ eps * cond(M)^2, fine for the well-conditioned alignment
     path (used by method='gram').
     """
-    g = hdot(M.T, M)
-    g = g + jnp.diag(1.0 - col_mask)
-    sol = jnp.linalg.solve(g, M.T)
-    return sol * col_mask[:, None]
+    g = hdot(M.swapaxes(-1, -2), M)
+    D = g.shape[-1]
+    g = g + jnp.eye(D, dtype=g.dtype) * (1.0 - col_mask)[..., None, :]
+    sol = jnp.linalg.solve(g, M.swapaxes(-1, -2))
+    return sol * col_mask[..., :, None]
 
 
 def cca_align(
@@ -151,13 +160,16 @@ def cca_align(
     """CCA alignment between two latent-dynamics matrices.
 
     Args:
-        L_a: (R, Ka) latent dynamics for A; rows are samples (class x time
-            flattened), columns are latent dims. NOTE: this is the transpose
-            of the reference's ``CCA_align(L_a)`` orientation — row-major
-            sample layout is the idiomatic XLA layout.
-        L_b: (R, Kb) latent dynamics for B (same row layout/mask).
-        row_mask: optional (R,) {0,1} validity mask shared by both sides
-            (classes present in both datasets).
+        L_a: (..., R, Ka) latent dynamics for A; rows are samples (class x
+            time flattened), columns are latent dims. NOTE: this is the
+            transpose of the reference's ``CCA_align(L_a)`` orientation —
+            row-major sample layout is the idiomatic XLA layout. Leading
+            batch dims are supported NATIVELY (prefer them over vmap: the
+            Pallas Jacobi eigensolver in the gram path only reaches full
+            throughput with an explicit batch axis).
+        L_b: (..., R, Kb) latent dynamics for B (same row layout/mask).
+        row_mask: optional (..., R) {0,1} validity mask shared by both
+            sides (classes present in both datasets).
     """
     La = _masked_center_cols(L_a, row_mask)
     Lb = _masked_center_cols(L_b, row_mask)
@@ -166,14 +178,15 @@ def cca_align(
     q_b, pinv_rb, rank_b = _orthonormalize(Lb, method)
     d = jnp.minimum(rank_a, rank_b)
 
-    g = hdot(q_a.T, q_b)  # (Ka, Kb); masked dims are exact zero rows/cols
+    # (..., Ka, Kb); masked dims are exact zero rows/cols
+    g = hdot(q_a.swapaxes(-1, -2), q_b)
     u, s, vt = jnp.linalg.svd(g, full_matrices=False)
-    D = s.shape[0]  # = min(Ka, Kb)
+    D = s.shape[-1]  # = min(Ka, Kb)
 
-    col_mask = (jnp.arange(D) < d).astype(L_a.dtype)
-    m_a = hdot(pinv_ra, u[:, :D]) * col_mask[None, :]
-    m_b = hdot(pinv_rb, vt.T[:, :D]) * col_mask[None, :]
-    corrs = jnp.clip(s[:D], 0.0, 1.0) * col_mask
+    col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype)
+    m_a = hdot(pinv_ra, u[..., :, :D]) * col_mask[..., None, :]
+    m_b = hdot(pinv_rb, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
+    corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
 
     if method == "gram":
         pinv_ma = _fast_masked_pinv(m_a, col_mask)
@@ -206,20 +219,23 @@ def cnd_avg(
         (avg, counts): avg is (n_classes, ...) with zero rows for absent
         classes; counts is (n_classes,) valid-trial counts per class.
     """
-    N = data.shape[0]
+    lead = class_ids.shape[:-1]
+    N = class_ids.shape[-1]
+    rest = data.shape[len(lead) + 1 :]
     w = (
-        jnp.ones((N,), data.dtype)
+        jnp.ones(class_ids.shape, data.dtype)
         if sample_mask is None
         else sample_mask.astype(data.dtype)
     )
     # one-hot matmul instead of scatter-add: the segment reduction becomes
-    # an MXU matmul (~2x faster than segment_sum on TPU at these shapes)
-    oh = jax.nn.one_hot(class_ids, n_classes, dtype=data.dtype) * w[:, None]
-    flat = data.reshape(N, -1)
-    sums = hdot(oh.T, flat)
-    counts = jnp.sum(oh, axis=0)
-    avg = sums / jnp.maximum(counts, 1.0)[:, None]
-    return avg.reshape((n_classes,) + data.shape[1:]), counts
+    # an MXU matmul (~2x faster than segment_sum on TPU at these shapes);
+    # batched natively over leading dims
+    oh = jax.nn.one_hot(class_ids, n_classes, dtype=data.dtype) * w[..., None]
+    flat = data.reshape(lead + (N, -1))
+    sums = hdot(oh.swapaxes(-1, -2), flat)
+    counts = jnp.sum(oh, axis=-2)
+    avg = sums / jnp.maximum(counts, 1.0)[..., None]
+    return avg.reshape(lead + (n_classes,) + rest), counts
 
 
 class FittedAligner(NamedTuple):
@@ -251,9 +267,10 @@ def fit_cca_aligner(
     numerical robustness on ill-conditioned inputs.
 
     Args:
-        X_a: (Na, T, Ka) target-latent trials.
-        X_b: (Nb, T, Kb) source-latent trials.
-        ids_a, ids_b: per-trial compact class ids.
+        X_a: (..., Na, T, Ka) target-latent trials (leading batch dims are
+            batched natively — preferred over vmap for the Pallas path).
+        X_b: (..., Nb, T, Kb) source-latent trials.
+        ids_a, ids_b: (..., N) per-trial compact class ids.
         n_classes: static class-universe size.
         mask_a, mask_b: optional per-trial validity masks (for fold subsets).
     """
@@ -261,10 +278,11 @@ def fit_cca_aligner(
     avg_b, cnt_b = cnd_avg(X_b, ids_b, n_classes, mask_b)
     shared = ((cnt_a > 0) & (cnt_b > 0)).astype(X_a.dtype)
 
-    T = X_a.shape[1]
-    L_a = avg_a.reshape(n_classes * T, X_a.shape[-1])
-    L_b = avg_b.reshape(n_classes * T, X_b.shape[-1])
-    row_mask = jnp.repeat(shared, T)
+    lead = ids_a.shape[:-1]
+    T = X_a.shape[-2]
+    L_a = avg_a.reshape(lead + (n_classes * T, X_a.shape[-1]))
+    L_b = avg_b.reshape(lead + (n_classes * T, X_b.shape[-1]))
+    row_mask = jnp.repeat(shared, T, axis=-1)
 
     alignment = cca_align(L_a, L_b, row_mask, method)
     return FittedAligner(alignment=alignment, shared_mask=shared)

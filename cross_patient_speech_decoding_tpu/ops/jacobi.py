@@ -1,0 +1,234 @@
+"""Batched symmetric eigensolver via parallel (round-robin) Jacobi rotations.
+
+XLA's TPU ``eigh`` on many small matrices is the remaining bottleneck of
+the alignment fit (40x40 x batch dominates the Gram-path CCA). This solver
+reformulates cyclic Jacobi so each step applies K/2 *disjoint* Givens
+rotations at once as one orthogonal matrix:
+
+    A <- R^T A R,   V <- V R
+
+A round-robin tournament schedule covers all K(K-1)/2 pairs in K-1 steps
+per sweep; off-diagonal mass vanishes quadratically so a fixed sweep count
+gives f32-accurate spectra with fully static shapes. The rotation
+parameters are computed WITHOUT gathers: with P the (static, per-step)
+pair-permutation matrix and sign the (+1/-1) member labels,
+
+    a_partner = P @ diag(A),  a_pq = rowsum(A * P)
+    tau_i = sign_i (a_partner_i - diag_i) / (2 a_pq_i)   (equal for both
+    members of a pair), c, s elementwise, R = I*c + P*(sign*t*c)
+
+so one step = a few elementwise ops + 3 small matmuls — MXU work only.
+
+Two backends:
+- :func:`jacobi_eigh` — pure JAX lax.scan (any backend);
+- :func:`jacobi_eigh_pallas` — Pallas TPU kernel keeping A and V resident
+  in VMEM across ALL rotation steps (no per-step HBM round trips or
+  dispatch overhead), gridded over the batch.
+
+Parity tested against numpy eigh in tests/test_jacobi.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.ops.precision import hdot
+
+
+@functools.lru_cache(maxsize=16)
+def _round_robin_schedule(k: int):
+    """Static tables: P (k-1, k, k) pair permutations, sign (k-1, k)."""
+    assert k % 2 == 0
+    players = list(range(k))
+    perms = np.zeros((k - 1, k, k), np.float32)
+    signs = np.zeros((k - 1, k), np.float32)
+    for t in range(k - 1):
+        for i in range(k // 2):
+            p, q = players[i], players[k - 1 - i]
+            perms[t, p, q] = perms[t, q, p] = 1.0
+            signs[t, p], signs[t, q] = 1.0, -1.0
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return perms, signs
+
+
+def _pad_odd(A):
+    K = A.shape[-1]
+    if K % 2 == 0:
+        return A, K, False
+    pad = [(0, 0)] * (A.ndim - 2) + [(0, 1), (0, 1)]
+    A = jnp.pad(A, pad)
+    A = A.at[..., K, K].set(1.0)
+    return A, K, True
+
+
+def _strip_pad(w, V, K):
+    """Drop the synthetic padded eigenpair (its eigenvector is exactly e_K:
+    the padded coordinate never mixes — all its off-diagonals stay 0)."""
+    is_pad = jnp.abs(V[..., K, :]) > 0.5
+    idx = jnp.argsort(is_pad, axis=-1, stable=True)[..., :K]
+    w = jnp.take_along_axis(w, idx, axis=-1)
+    V = jnp.take_along_axis(V[..., :K, :], idx[..., None, :], axis=-1)
+    return w, V
+
+
+def _rotation(A_cur, P, sign, eye, dtype):
+    diag = jnp.diagonal(A_cur, axis1=-2, axis2=-1)
+    a_partner = jnp.einsum(
+        "ij,...j->...i", P, diag, precision=jax.lax.Precision.HIGHEST
+    )
+    a_pq = jnp.sum(A_cur * P, axis=-1)
+    small = jnp.abs(a_pq) < 1e-30
+    tau = sign * (a_partner - diag) / (2.0 * jnp.where(small, 1.0, a_pq))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(small, 0.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s_full = sign * t * c
+    return eye * c[..., None, :] + P * s_full[..., :, None]
+
+
+def jacobi_eigh(A: jax.Array, sweeps: int = 8):
+    """Eigendecomposition of symmetric A (..., K, K).
+
+    Returns (w, V), eigenvalues ASCENDING (numpy contract),
+    A ≈ V @ diag(w) @ V^T.
+    """
+    A, K, odd = _pad_odd(A)
+    Kp = A.shape[-1]
+    perms, signs = _round_robin_schedule(Kp)
+    eye = jnp.eye(Kp, dtype=A.dtype)
+
+    def step(carry, inputs):
+        A_cur, V = carry
+        P, sign = inputs
+        R = _rotation(A_cur, P, sign, eye, A.dtype)
+        A_new = hdot(R.swapaxes(-1, -2), hdot(A_cur, R))
+        A_new = 0.5 * (A_new + A_new.swapaxes(-1, -2))
+        return (A_new, hdot(V, R)), None
+
+    V0 = jnp.broadcast_to(eye, A.shape)
+    P_all = jnp.tile(jnp.asarray(perms, A.dtype), (sweeps, 1, 1))
+    s_all = jnp.tile(jnp.asarray(signs, A.dtype), (sweeps, 1))
+    (A_f, V_f), _ = jax.lax.scan(step, (A, V0), (P_all, s_all))
+
+    w = jnp.diagonal(A_f, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V_f, order[..., None, :], axis=-1)
+    if odd:
+        w, V = _strip_pad(w, V, K)
+    return w, V
+
+
+def batched_eigh(A: jax.Array, sweeps: int = 8):
+    """eigh dispatch: Pallas Jacobi on TPU (faster for many small
+    matrices), LAPACK-backed ``jnp.linalg.eigh`` elsewhere (exact)."""
+    if jax.default_backend() == "tpu" and A.shape[-1] <= 64:
+        return jacobi_eigh_pallas(A, sweeps=sweeps, block=32)
+    return jnp.linalg.eigh(A)
+
+
+def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
+    """Pallas TPU backend: A, V live in VMEM across all rotation steps.
+
+    A is (..., K, K); leading dims are flattened into the kernel grid.
+    Falls back to :func:`jacobi_eigh` on non-TPU backends.
+    """
+    if jax.default_backend() not in ("tpu",):
+        return jacobi_eigh(A, sweeps)
+
+    lead = A.shape[:-2]
+    if A.ndim == 2:
+        w, V = jacobi_eigh_pallas(A[None], sweeps, block=1)
+        return w[0], V[0]
+    if A.ndim > 3:
+        K0 = A.shape[-1]
+        w, V = jacobi_eigh_pallas(A.reshape(-1, K0, K0), sweeps, block)
+        return w.reshape(lead + w.shape[-1:]), V.reshape(lead + V.shape[-2:])
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, K, odd = _pad_odd(A)
+    B, Kp, _ = A.shape
+    if B % block:
+        padB = (-B) % block
+        A = jnp.pad(A, ((0, padB), (0, 0), (0, 0)))
+    Bp = A.shape[0]
+    perms_np, signs_np = _round_robin_schedule(Kp)
+    n_steps = perms_np.shape[0]
+    perms = jnp.asarray(perms_np, A.dtype)  # (n_steps, Kp, Kp)
+    signs = jnp.asarray(signs_np, A.dtype)  # (n_steps, Kp)
+
+    def kernel(P_ref, S_ref, A_ref, w_ref, V_ref):
+        eye = jnp.eye(Kp, dtype=A_ref.dtype)
+        A0 = A_ref[:]
+        V0 = jnp.broadcast_to(eye[None], A0.shape)
+
+        def body(i, carry):
+            A_cur, V = carry
+            idx = i % n_steps
+            P = P_ref[idx]
+            sign = S_ref[idx]
+            # diagonal via masked rowsum (Mosaic supports no 3-D gather)
+            diag = jnp.sum(A_cur * eye[None], axis=-1)
+            a_partner = jnp.einsum(
+                "ij,bj->bi", P, diag, precision=jax.lax.Precision.HIGHEST
+            )
+            a_pq = jnp.sum(A_cur * P[None], axis=-1)
+            small = jnp.abs(a_pq) < 1e-30
+            tau = sign[None] * (a_partner - diag) / (
+                2.0 * jnp.where(small, 1.0, a_pq)
+            )
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(small, 0.0, t)
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s_full = sign[None] * t * c
+            R = eye[None] * c[:, None, :] + P[None] * s_full[:, :, None]
+            Rt = R.swapaxes(-1, -2)
+            mm = lambda x, y: jax.lax.dot_general(
+                x, y, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            A_new = mm(Rt, mm(A_cur, R))
+            A_new = 0.5 * (A_new + A_new.swapaxes(-1, -2))
+            return A_new, mm(V, R)
+
+        A_f, V_f = jax.lax.fori_loop(0, n_steps * sweeps, body, (A0, V0))
+        w_ref[:] = jnp.sum(A_f * eye[None], axis=-1)
+        V_ref[:] = V_f
+
+    w, V = pl.pallas_call(
+        kernel,
+        grid=(Bp // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # P table (constant-ish)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block, Kp, Kp), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block, Kp, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, Kp), A.dtype),
+            jax.ShapeDtypeStruct((Bp, Kp, Kp), A.dtype),
+        ],
+    )(perms, signs, A)
+
+    w, V = w[:B], V[:B]
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    if odd:
+        w, V = _strip_pad(w, V, K)
+    return w, V
