@@ -47,6 +47,10 @@ def load_high_gamma_mat(path: str | Path):
 
     raw = loadmat(str(path))
     out = {}
+    # pre-averaged spatial keys cs_{a}x{b} (feature_data_from_mat.py:165-185)
+    cs_keys = [k for k in raw if k.startswith("cs_")]
+    for k in cs_keys:
+        out[k] = np.asarray(raw[k], np.float32)
     if "hgMap" in raw:
         out["X"] = np.asarray(raw["hgMap"], np.float32)
     elif "hgTrace" in raw:

@@ -19,3 +19,8 @@ from cross_patient_speech_decoding_tpu.decoders.sklearn_compat import (
     JaxPCA,
     NoCenterPCA,
 )
+from cross_patient_speech_decoding_tpu.decoders.nested_cv import (
+    nested_cv_decode,
+    make_nested_cv_decoder,
+    sample_candidates,
+)

@@ -14,7 +14,16 @@ from cross_patient_speech_decoding_tpu.ops.cca import (
     cca_align,
     cnd_avg,
     fit_cca_aligner,
+    fit_cca_aligner_trial,
+    shared_trial_subselect_indices,
+    transform_a_to_b,
     transform_b_to_a,
+    transform_shared,
+)
+from cross_patient_speech_decoding_tpu.ops.jacobi import (
+    jacobi_eigh,
+    jacobi_eigh_pallas,
+    batched_eigh,
 )
 from cross_patient_speech_decoding_tpu.ops.joint_pca import (
     JointPCAState,
@@ -32,6 +41,8 @@ from cross_patient_speech_decoding_tpu.ops.classifiers import (
     KernelClassifier,
     kernel_classifier_fit,
     kernel_classifier_predict,
+    bagged_classifier_fit,
+    bagged_classifier_predict,
     balanced_sample_weights,
     scale_gamma,
 )
