@@ -120,11 +120,40 @@ def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 
 # ------------------------------------------------------------- svm decode ----
 
 def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
-    """Repeated stratified-CV pooled decode; incremental pkl persistence."""
+    """Repeated stratified-CV pooled decode; incremental pkl persistence.
+
+    Controls (reference SURVEY.md §4.3): ``chance`` shuffles target labels;
+    ``surrogate='tme'`` replaces cross-patient tensors with TME max-ent
+    surrogates (supp_fig_11); ``surrogate='shuffle'`` uses mode-shuffle
+    surrogates; ``random_data`` replaces cross data with uniform noise.
+    """
     tar, cross, n_y, n_a = _patients_from_config(
         cfg.data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type,
         cfg.seed, cfg.random_data,
     )
+    rng_ctl = np.random.default_rng(cfg.seed + 777)
+    if cfg.chance:
+        perm = rng_ctl.permutation(len(np.asarray(tar.y)))
+        tar = PatientArrays(X=tar.X, y=tar.y[jnp.asarray(perm)],
+                            y_align=tar.y_align[jnp.asarray(perm)])
+    if cfg.surrogate != "none":
+        from cross_patient_speech_decoding_tpu.data.surrogates import (
+            mode_shuffle_surrogate,
+            tme_surrogate,
+        )
+
+        new_cross = []
+        for c in cross:
+            Xc = np.asarray(c.X)
+            if cfg.surrogate == "tme":
+                Xs, _ = tme_surrogate(Xc, steps=1000, seed=cfg.seed)
+            else:
+                Xs = mode_shuffle_surrogate(Xc, rng_ctl)
+            new_cross.append(
+                PatientArrays(X=jnp.asarray(Xs, jnp.float32), y=c.y,
+                              y_align=c.y_align)
+            )
+        cross = tuple(new_cross)
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam, kernel=cfg.kernel,
@@ -369,10 +398,41 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         )
         test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, batch(te_i))
         per = float(test_metrics["per"])
+        if cfg.decode == "beam":
+            per = _beam_rescore_per(model, res.best_state, batch(te_i), cfg)
         pers.append(per)
         if verbose:
             print(f"iter {it} [{cfg.context}]: test PER {per:.1f}%", flush=True)
     return np.asarray(pers)
+
+
+def _beam_rescore_per(model, state, batch, cfg):
+    """Test-time PER with native prefix beam search (ctc_decoder.py beam
+    path; C++ kernel via realtime.beam with Python fallback)."""
+    from cross_patient_speech_decoding_tpu.models.realtime_rnn import (
+        adjusted_input_lengths,
+    )
+    from cross_patient_speech_decoding_tpu.realtime.beam import (
+        edit_distance_batch,
+        prefix_beam_search,
+    )
+
+    x, labels, input_lens, label_lens = batch
+    logits = model.apply({"params": state.params}, x, True)
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    in_adj = np.asarray(adjusted_input_lengths(input_lens, cfg.win_size, cfg.stride))
+    preds, pred_lens = [], []
+    max_len = lp.shape[1]
+    for i in range(lp.shape[0]):
+        seq, _ = prefix_beam_search(lp[i, : in_adj[i]], cfg.beam_size)
+        seq = list(seq)[:max_len]
+        preds.append(seq + [0] * (max_len - len(seq)))
+        pred_lens.append(len(seq))
+    dists = edit_distance_batch(
+        np.asarray(preds, np.int32), np.asarray(pred_lens, np.int32),
+        np.asarray(labels, np.int32), np.asarray(label_lens, np.int32),
+    )
+    return float(dists.sum() / max(1, int(np.asarray(label_lens).sum())) * 100.0)
 
 
 # ---------------------------------------------------------------- tune ctc ----
@@ -388,13 +448,30 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
         make_ctc_bucket_trainer,
     )
 
-    pts = _synthetic_ctc(seed=cfg.seed)
-    X, y, il, ll = pts[0]
     rng = np.random.default_rng(cfg.seed)
-    tr, va, _ = train_val_test_masks(len(X), rng)
-    tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
-    train = tuple(jnp.asarray(a[tr_i]) for a in (X, y, il, ll))
-    val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
+    if cfg.align_train:
+        # tune_ctc_rnn_align analog: on-the-fly PCA + CCA aligned pooling
+        from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
+
+        prep_cfg = TrainCTCConfig(context="aligned", seed=cfg.seed,
+                                  n_components=cfg.n_components)
+        datasets, _ = _prep_ctc_context(prep_cfg, rng)
+        X, y, il, ll = datasets[0]
+        tr, va, _ = train_val_test_masks(len(X), rng)
+        tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
+        Xs = [X[tr_i]] + [d[0] for d in datasets[1:]]
+        ys = [y[tr_i]] + [d[1] for d in datasets[1:]]
+        ils = [il[tr_i]] + [d[2] for d in datasets[1:]]
+        lls = [ll[tr_i]] + [d[3] for d in datasets[1:]]
+        train = tuple(jnp.asarray(np.concatenate(a)) for a in (Xs, ys, ils, lls))
+        val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
+    else:
+        pts = _synthetic_ctc(seed=cfg.seed)
+        X, y, il, ll = pts[0]
+        tr, va, _ = train_val_test_masks(len(X), rng)
+        tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
+        train = tuple(jnp.asarray(a[tr_i]) for a in (X, y, il, ll))
+        val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
 
     trainer = make_ctc_bucket_trainer(train, val, n_classes=11, seed=cfg.seed)
     trials = sample_trials(SweepSpace(), cfg.n_trials, seed=cfg.seed)

@@ -35,12 +35,19 @@ def make_ctc_bucket_trainer(
     blank: int = 0,
     decay_steps: int = 100,
     seed: int = 0,
+    mesh=None,
+    trial_axis: str = "data",
 ):
     """Build train_bucket(configs, epochs) -> list[val_PER].
 
     train_batch/val_batch: (x, labels, input_lens, label_lens) device
     tuples shared by all trials (the reference trains trials on identical
     fold data, tune_ctc_rnn.py:664-674).
+
+    With ``mesh`` given, the TRIAL axis (params, optimizer states, lr/wd
+    vectors) is sharded over the mesh — each chip trains its own slice of
+    the trial bucket on replicated data, the multi-chip analog of the
+    reference's 10 Ray actors at 0.1 GPU each.
     """
     x_tr, y_tr, il_tr, ll_tr = train_batch
 
@@ -69,6 +76,21 @@ def make_ctc_bucket_trainer(
 
         keys = jax.random.split(jax.random.key(seed), B)
         params, opt_states = jax.vmap(init_one)(keys)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape[trial_axis]
+            if B % n_dev == 0:
+                trial_sh = lambda leaf: NamedSharding(
+                    mesh, P(trial_axis, *([None] * (leaf.ndim - 1)))
+                )
+                shard = lambda tree: jax.tree_util.tree_map(
+                    lambda leaf: jax.device_put(leaf, trial_sh(leaf)), tree
+                )
+                params, opt_states = shard(params), shard(opt_states)
+                lrs = jax.device_put(lrs, NamedSharding(mesh, P(trial_axis)))
+                wds = jax.device_put(wds, NamedSharding(mesh, P(trial_axis)))
 
         in_adj = adjusted_input_lengths(il_tr, win_size, stride)
 

@@ -83,6 +83,8 @@ class SVMDecodeConfig:
     kernel: str = "rbf"
     tar_in_train: bool = True
     random_data: bool = False  # -r control: replace cross data with noise
+    surrogate: str = "none"  # none | tme | shuffle (supp_fig_11 controls)
+    chance: bool = False  # label-shuffle chance decoding
     fold_batch: int = 20
     seed: int = 0
     out: str = "results/svm_decode.pkl"
@@ -133,6 +135,8 @@ class TrainCTCConfig:
     n_components: float = 0.9
     val_frac: float = 0.1
     test_frac: float = 0.2
+    decode: str = "greedy"  # greedy | beam (prefix beam rescoring at test)
+    beam_size: int = 100
     seed: int = 0
     out: str = "results/ctc.h5"
 
@@ -146,6 +150,8 @@ class TuneCTCConfig:
     n_trials: int = 30
     rungs: str = "30,100"  # successive-halving epoch rungs
     eta: int = 3
+    align_train: bool = False  # tune_ctc_rnn_align: pool aligned cross data
+    n_components: float = 0.9
     seed: int = 0
     manifest: str = "results/tune_manifest.jsonl"
 

@@ -73,3 +73,33 @@ def test_shard_batch_places_on_mesh(pts):
     x = jnp.zeros((16, 4))
     shards = shard_batch({"x": x}, mesh)
     assert len(shards["x"].sharding.device_set) == 8
+
+
+def test_sharded_sweep_bucket_matches_single_device():
+    """Trial-axis sharding over the mesh == unsharded results."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_sweep import _ctc_data
+
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_bucket_trainer,
+    )
+
+    train = _ctc_data(0)
+    val = _ctc_data(1, n=12)
+    cfgs = [
+        {"lr": 3e-3 * (i + 1), "weight_decay": 1e-5, "hidden": 16,
+         "n_layers": 1, "dropout": 0.0}
+        for i in range(8)
+    ]
+    plain = make_ctc_bucket_trainer(
+        train, val, n_classes=5, win_size=8, stride=4, decay_steps=100
+    )(cfgs, epochs=20)
+
+    mesh = make_mesh(8)
+    sharded = make_ctc_bucket_trainer(
+        train, val, n_classes=5, win_size=8, stride=4, decay_steps=100,
+        mesh=mesh,
+    )(cfgs, epochs=20)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=0.5)
