@@ -248,6 +248,45 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
 
     rng = np.random.default_rng(cfg.seed)
     results = []
+    if cfg.fold_parallel:
+        # all folds of an iteration train as ONE vmapped program
+        from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+            make_seq2seq_fold_trainer,
+            pooled_fold_arrays,
+        )
+
+        for it in range(cfg.n_iter):
+            tr_m, te_m = stratified_kfold_masks(
+                np.asarray(ds.class_ids[0]), cfg.n_folds, rng
+            )
+            X_pool, y_pool, w, te = pooled_fold_arrays(
+                feats[0].reshape(feats[0].shape[0], T, -1),
+                y_seqs[0],
+                [f.reshape(f.shape[0], T, -1) for f in feats[1:]],
+                y_seqs[1:],
+                tr_m,
+            )
+            trainer = make_seq2seq_fold_trainer(
+                model, X_pool, y_pool, w, te,
+                lr=cfg.lr, weight_decay=cfg.weight_decay,
+                decay_iters=cfg.decay_iters, clip=cfg.clip,
+                seed=cfg.seed + it,
+            )
+            accs, _ = trainer(cfg.epochs)
+            accs = np.asarray(accs)
+            results.extend(accs.tolist())
+            if verbose:
+                print(
+                    f"iter {it}: {cfg.n_folds} folds in one program, "
+                    f"mean test acc {accs.mean():.3f}",
+                    flush=True,
+                )
+        out = np.asarray(results)
+        if cfg.out:
+            Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+            np.savetxt(cfg.out, out, delimiter=",")
+        return out
+
     for it in range(cfg.n_iter):
         tr_m, te_m = stratified_kfold_masks(
             np.asarray(ds.class_ids[0]), cfg.n_folds, rng

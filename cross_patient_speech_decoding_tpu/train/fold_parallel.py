@@ -1,0 +1,153 @@
+"""Fold-parallel NN training — many CV folds train as ONE vmapped program.
+
+The reference's seq2seq experiment trains 50 iterations x 20 folds x 500
+epochs sequentially through Lightning (`scripts/train_seq2seq.py:157-189`),
+the second-biggest compute sink after the SVM grid (SURVEY.md §3.2). Folds
+differ only in which target trials are in-train — so here every fold trains
+the SAME pooled array with a per-fold SAMPLE-WEIGHT vector in the loss
+(target train rows weighted 1, its held-out rows 0, cross rows 1), and the
+fold axis becomes a vmap axis over model parameters and optimizer states.
+One XLA program trains all folds simultaneously; with a mesh, folds shard
+across chips (they are embarrassingly parallel, like the reference's SLURM
+job arrays).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc
+
+
+def make_seq2seq_fold_trainer(
+    model,
+    X_pool: jax.Array,
+    y_pool: jax.Array,
+    train_weights: jax.Array,
+    test_masks: jax.Array,
+    *,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    decay_iters: int = 20,
+    end_factor: float = 0.01,
+    clip: float = 0.5,
+    teacher_forcing: float = 0.5,
+    seed: int = 0,
+    mesh=None,
+    fold_axis: str = "data",
+):
+    """Build train_folds(epochs) -> (accs (F,), params) for F folds.
+
+    Args:
+        model: a Seq2SeqRNN (or compatible) flax module.
+        X_pool: (N, T, C) pooled features (target + aligned cross rows).
+        y_pool: (N, L) pooled sequence labels.
+        train_weights: (F, N) per-fold sample weights for the loss.
+        test_masks: (F, N) per-fold eval masks (target held-out rows).
+    """
+    F = train_weights.shape[0]
+    sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+    def init_one(key):
+        variables = model.init(
+            {"params": key, "tf": jax.random.key(0)},
+            X_pool[:1], y_pool[:1], teacher_forcing,
+        )
+        return variables["params"], variables.get("batch_stats", {})
+
+    keys = jax.random.split(jax.random.key(seed), F)
+    params, batch_stats = jax.vmap(init_one)(keys)
+    opt_states = jax.vmap(tx.init)(params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if F % mesh.shape[fold_axis] == 0:
+            sh = lambda leaf: NamedSharding(
+                mesh, P(fold_axis, *([None] * (max(leaf.ndim, 1) - 1)))
+            )
+            put = lambda tree: jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, sh(l)), tree
+            )
+            params, batch_stats, opt_states = (
+                put(params), put(batch_stats), put(opt_states)
+            )
+
+    def loss_fn(p, bs, w, key):
+        k_tf, k_do = jax.random.split(key)
+        variables = {"params": p}
+        if bs:
+            variables["batch_stats"] = bs
+        logits, updates = model.apply(
+            variables, X_pool, y_pool, teacher_forcing, False,
+            mutable=["batch_stats"] if bs else [],
+            rngs={"tf": k_tf, "dropout": k_do},
+        )
+        flat = logits.reshape(-1, logits.shape[-1])
+        labels = y_pool.reshape(-1)
+        ce = optax.softmax_cross_entropy_with_integer_labels(flat, labels)
+        L = y_pool.shape[1]
+        w_tok = jnp.repeat(w, L)
+        loss = jnp.sum(ce * w_tok) / jnp.maximum(jnp.sum(w_tok), 1.0)
+        new_bs = updates["batch_stats"] if bs else bs
+        return loss, new_bs
+
+    def epoch_one(p, o, bs, w, key):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bs, w, key
+        )
+        updates, new_o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), new_o, new_bs, loss
+
+    def eval_one(p, bs, te):
+        variables = {"params": p}
+        if bs:
+            variables["batch_stats"] = bs
+        logits = model.apply(variables, X_pool, None, 0.0, True)
+        preds = jnp.argmax(logits, axis=-1).reshape(-1)
+        labels = y_pool.reshape(-1)
+        L = y_pool.shape[1]
+        m = jnp.repeat(te, L)
+        return cmat_acc(labels, preds, model.num_classes, m)
+
+    def train_folds(epochs: int):
+        def epoch_step(carry, key):
+            p, o, bs = carry
+            fold_keys = jax.random.split(key, F)
+            p, o, bs, losses = jax.vmap(epoch_one)(
+                p, o, bs, train_weights, fold_keys
+            )
+            return (p, o, bs), losses
+
+        ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
+        (p, o, bs), _ = jax.lax.scan(
+            epoch_step, (params, opt_states, batch_stats), ekeys
+        )
+        accs = jax.vmap(eval_one)(p, bs, test_masks)
+        return accs, p
+
+    return jax.jit(train_folds, static_argnums=0)
+
+
+def pooled_fold_arrays(tar_feats, tar_y, cross_feats, cross_ys,
+                       train_masks: np.ndarray):
+    """Assemble (X_pool, y_pool, train_weights, test_masks) from per-fold
+    target masks + always-in-train cross data."""
+    X_pool = jnp.concatenate([tar_feats] + list(cross_feats), axis=0)
+    y_pool = jnp.concatenate([tar_y] + list(cross_ys), axis=0)
+    F, N0 = train_masks.shape
+    n_cross = X_pool.shape[0] - N0
+    w = np.concatenate(
+        [train_masks, np.ones((F, n_cross), train_masks.dtype)], axis=1
+    )
+    te = np.concatenate(
+        [1.0 - train_masks, np.zeros((F, n_cross), train_masks.dtype)], axis=1
+    )
+    return X_pool, y_pool, jnp.asarray(w, jnp.float32), jnp.asarray(te, jnp.float32)

@@ -110,6 +110,7 @@ class TrainSeq2SeqConfig:
     clip: float = 0.5
     decay_iters: int = 20
     pooled: bool = True  # cross-patient aligned pooling
+    fold_parallel: bool = True  # train all folds as one vmapped program
     seed: int = 0
     out: str = "results/seq2seq.csv"
 

@@ -1,0 +1,58 @@
+"""Fold-parallel seq2seq training: all folds learn in one vmapped program,
+masked-loss semantics hold, mesh sharding matches unsharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.data.splits import stratified_kfold_masks
+from cross_patient_speech_decoding_tpu.models import Seq2SeqRNN
+from cross_patient_speech_decoding_tpu.parallel import make_mesh
+from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+    make_seq2seq_fold_trainer,
+    pooled_fold_arrays,
+)
+
+
+def _setup(seed=0, n_folds=4):
+    ds = make_synthetic_patients(seed=seed, n_patients=2, n_classes=6,
+                                 trials_per_class=8, T=24,
+                                 channels=(12, 14), latent_dim=5, noise=0.3)
+    y = [jnp.asarray(s - 1, jnp.int32) for s in ds.y_seq]  # digits 1..9 -> 0..8
+    X = [jnp.asarray(x, jnp.float32) for x in ds.X]
+    # pad cross channels to target width for pooling (simple truncate here)
+    c = min(x.shape[-1] for x in X)
+    X = [x[..., :c] for x in X]
+    rng = np.random.default_rng(seed)
+    tr, te = stratified_kfold_masks(np.asarray(ds.class_ids[0]), n_folds, rng)
+    pool = pooled_fold_arrays(X[0], y[0], [X[1]], [y[1]], tr)
+    model = Seq2SeqRNN(n_filters=8, hidden=16, num_classes=9, kernel_size=4)
+    return model, pool
+
+
+def test_fold_parallel_training_learns():
+    model, (X, y, w, te) = _setup()
+    trainer = make_seq2seq_fold_trainer(model, X, y, w, te, lr=3e-3,
+                                        decay_iters=200, seed=0)
+    accs, params = trainer(60)
+    accs = np.asarray(accs)
+    assert accs.shape == (4,)
+    assert accs.mean() > 1.0 / 9 + 0.1, accs  # above chance on held-out rows
+    # per-fold params actually differ (independent training)
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+
+
+def test_fold_parallel_sharded_matches():
+    model, (X, y, w, te) = _setup(seed=1, n_folds=8)
+    plain_accs, _ = make_seq2seq_fold_trainer(
+        model, X, y, w, te, lr=3e-3, seed=0
+    )(25)
+    mesh = make_mesh(8)
+    shard_accs, _ = make_seq2seq_fold_trainer(
+        model, X, y, w, te, lr=3e-3, seed=0, mesh=mesh
+    )(25)
+    np.testing.assert_allclose(
+        np.asarray(shard_accs), np.asarray(plain_accs), atol=0.05
+    )
