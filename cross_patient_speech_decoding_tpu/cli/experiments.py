@@ -189,8 +189,6 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
     cfg.n_iter/n_folds), full pipeline: per-patient PCA -> CCA align ->
     pool -> Seq2SeqRNN with teacher forcing -> test accuracy.
     """
-    import optax
-
     from cross_patient_speech_decoding_tpu.data.splits import (
         stratified_kfold_masks,
     )

@@ -200,7 +200,6 @@ class PositionalEncoding(nn.Module):
 
 def linear_decay_schedule(lr: float, decay_steps: int, end_factor: float = 0.0):
     """torch LinearLR(start=1.0, end=end_factor, total_iters=decay_steps)."""
-    import optax
 
     def sched(step):
         frac = jnp.minimum(step / decay_steps, 1.0)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cross_patient_speech_decoding_tpu.train.state import TrainState, create_train_state
+from cross_patient_speech_decoding_tpu.train.state import TrainState
 
 
 @dataclass
