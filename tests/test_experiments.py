@@ -1,0 +1,90 @@
+"""Experiment-driver smoke tests (tiny budgets): every CLI family runs end
+to end on the CPU mesh, controls behave, outputs persist."""
+
+import numpy as np
+import pytest
+
+from cross_patient_speech_decoding_tpu.cli.experiments import (
+    run_realtime_sim,
+    run_svm_decode,
+    run_train_ctc,
+    run_train_seq2seq,
+    run_tune_ctc,
+)
+from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
+    SubsampleConfig,
+    run_spatial_avg,
+    run_trial_subsample,
+)
+from cross_patient_speech_decoding_tpu.utils.config import (
+    RealtimeSimConfig,
+    SVMDecodeConfig,
+    TrainCTCConfig,
+    TrainSeq2SeqConfig,
+    TuneCTCConfig,
+)
+
+
+def test_svm_decode_and_chance_control(tmp_path):
+    base = dict(n_iter=1, n_folds=3, fold_batch=3, max_k=12, seed=0)
+    accs = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "a.pkl"), **base), verbose=False
+    )
+    accs_chance = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "b.pkl"), chance=True, **base),
+        verbose=False,
+    )
+    assert accs.mean() > accs_chance.mean() + 0.3
+    assert (tmp_path / "a.pkl").exists()
+
+
+def test_svm_decode_shuffle_surrogate(tmp_path):
+    cfg = SVMDecodeConfig(n_iter=1, n_folds=2, fold_batch=2, max_k=10,
+                          surrogate="shuffle", out=str(tmp_path / "s.pkl"))
+    accs = run_svm_decode(cfg, verbose=False)
+    assert np.isfinite(accs).all()
+
+
+def test_train_ctc_patient_context():
+    cfg = TrainCTCConfig(context="patient", n_iter=1, epochs=8, hidden=16,
+                         n_layers=1, out="")
+    pers = run_train_ctc(cfg, verbose=False)
+    assert pers.shape == (1,)
+    assert np.isfinite(pers).all()
+
+
+def test_train_seq2seq_fold_parallel(tmp_path):
+    cfg = TrainSeq2SeqConfig(n_iter=1, n_folds=2, epochs=5, hidden=12,
+                             n_filters=8, out=str(tmp_path / "s.csv"))
+    accs = run_train_seq2seq(cfg, verbose=False)
+    assert accs.shape == (2,)
+    assert (tmp_path / "s.csv").exists()
+
+
+def test_tune_ctc_smoke(tmp_path):
+    cfg = TuneCTCConfig(n_trials=2, rungs="3",
+                        manifest=str(tmp_path / "m.jsonl"))
+    res = run_tune_ctc(cfg, verbose=False)
+    assert len(res) == 2
+    assert (tmp_path / "m.jsonl").exists()
+
+
+def test_realtime_sim_smoke():
+    ms = run_realtime_sim(
+        RealtimeSimConfig(n_channels=8, n_bins=40, hidden=16, n_layers=1),
+        verbose=False,
+    )
+    assert np.isfinite(ms)
+
+
+def test_trial_subsample_sweep():
+    cfg = SubsampleConfig(n_iter=1, n_folds=2, max_k=8, k_start=10,
+                          k_step=200)
+    ks, results = run_trial_subsample(cfg, verbose=False)
+    assert results.shape == (len(ks), 1)
+
+
+def test_spatial_avg_sweep():
+    cfg = SubsampleConfig(n_iter=1, n_folds=2, max_k=8, contact_sizes=(3,))
+    results = run_spatial_avg(cfg, verbose=False)
+    assert 3 in results
