@@ -23,10 +23,11 @@ def main(n_iter: int = 2, epochs: int = 150):
     pers = {}
     for context in ("chance", "patient", "unaligned", "aligned"):
         cfg = TrainCTCConfig(context=context, n_iter=n_iter, epochs=epochs,
-                             hidden=64, n_layers=2)
+                             hidden=128, n_layers=2, lr=3e-3,
+                             decay_steps=epochs, decode="beam", beam_size=50)
         pers[context] = run_train_ctc(cfg, verbose=False)
         print(f"{context:10s}: PER {pers[context].mean():.1f}% "
-              f"+- {pers[context].std():.1f}")
+              f"+- {pers[context].std():.1f}", flush=True)
 
     # data-scaling: synthetic PER-vs-trials curve from the sweep output
     # shape (replace with run_trial_subsample outputs on real data)
