@@ -27,7 +27,12 @@ def _block(tree):
 
 
 def median_ms(fn, *args, warmup: int = 2, iters: int = 20) -> float:
-    """Median latency in ms of ``fn(*args)`` with device synchronization."""
+    """Median latency in ms of ``fn(*args)`` with device synchronization.
+
+    CAVEAT (axon tunnel): block_until_ready may return before remote
+    execution finishes; for tunneled devices measure throughput amortized
+    over queued executions with one tiny host read instead (see bench.py).
+    """
     for _ in range(warmup):
         _block(fn(*args))
     samples = []
