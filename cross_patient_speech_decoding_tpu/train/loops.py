@@ -66,6 +66,7 @@ def fit(
     eval_every: int = 1,
     seed: int = 0,
     verbose: bool = False,
+    log_path: str | None = None,
 ) -> FitResult:
     """Train with best-checkpoint tracking on the monitored val metric.
 
@@ -93,7 +94,10 @@ def fit(
         if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
             val_metrics = eval_step(state, val_batch)
             m = float(val_metrics[monitor])
-            history.append({"epoch": epoch, **{k: float(v) for k, v in val_metrics.items()}})
+            rec = {"epoch": epoch, **{k: float(v) for k, v in val_metrics.items()}}
+            history.append(rec)
+            if log_path:
+                _append_csv(log_path, rec)
             if sign * m < best:
                 best = sign * m
                 best_state = state
@@ -104,6 +108,22 @@ def fit(
                 ), flush=True)
 
     return FitResult(best_state, sign * best, best_epoch, history)
+
+
+def _append_csv(path: str, rec: dict):
+    """Append one metrics row; header on first write (TensorBoard-lite —
+    the reference logs via TensorBoardLogger, train_ctc_rnn.py:235-261)."""
+    import csv
+    import pathlib
+
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    new = not p.exists()
+    with open(p, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rec.keys()))
+        if new:
+            w.writeheader()
+        w.writerow(rec)
 
 
 # ------------------------------------------------------------- checkpoint ----

@@ -89,3 +89,19 @@ def test_linear_decay_schedule_matches_torch_semantics():
         frac = min(step / N, 1.0)
         want = lr * (1 + (f - 1) * frac)
         np.testing.assert_allclose(float(sched(step)), want, rtol=1e-6)
+
+
+def test_fit_csv_logging(tmp_path):
+    model = RealtimeRNN(hidden=8, n_layers=1, n_classes=4, dropout=0.0,
+                        win_size=8, stride=4)
+    train = _ctc_batch(2, n=8, V=4)
+    tx = make_optimizer(1e-3, 1e-5, 10)
+    variables = model.init(jax.random.key(0), train[0][:1])
+    state = create_train_state(model, variables, tx)
+    log = tmp_path / "metrics.csv"
+    fit(state, make_ctc_train_step(model, tx), make_ctc_eval_step(model),
+        train, train, epochs=4, key=jax.random.key(1), monitor="per",
+        eval_every=2, log_path=str(log))
+    lines = log.read_text().strip().splitlines()
+    assert lines[0].startswith("epoch")
+    assert len(lines) >= 3  # header + >=2 eval rows
