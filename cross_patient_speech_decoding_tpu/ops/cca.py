@@ -151,6 +151,28 @@ def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
     return sol * col_mask[..., :, None]
 
 
+def _svd_small(g: jax.Array, method: str):
+    """SVD of the small between-view matrix.
+
+    method='gram' on TPU: via the Pallas Jacobi eigensolver on g^T g
+    (U = g V / s, consistent pairing by construction; near-zero singular
+    directions are zeroed — they carry no alignment signal). Otherwise
+    jnp.linalg.svd.
+    """
+    if method == "gram" and jax.default_backend() == "tpu":
+        from cross_patient_speech_decoding_tpu.ops.jacobi import batched_eigh
+
+        gtg = hdot(g.swapaxes(-1, -2), g)
+        w, v = batched_eigh(gtg)
+        s = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
+        v = v[..., ::-1]
+        tol = jnp.max(s, axis=-1, keepdims=True) * g.shape[-1] * jnp.finfo(g.dtype).eps * 10
+        s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+        u = hdot(g, v) * s_inv[..., None, :]
+        return u, s, v.swapaxes(-1, -2)
+    return jnp.linalg.svd(g, full_matrices=False)
+
+
 def cca_align(
     L_a: jax.Array,
     L_b: jax.Array,
@@ -180,7 +202,7 @@ def cca_align(
 
     # (..., Ka, Kb); masked dims are exact zero rows/cols
     g = hdot(q_a.swapaxes(-1, -2), q_b)
-    u, s, vt = jnp.linalg.svd(g, full_matrices=False)
+    u, s, vt = _svd_small(g, method)
     D = s.shape[-1]  # = min(Ka, Kb)
 
     col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype)
