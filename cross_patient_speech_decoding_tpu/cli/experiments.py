@@ -56,12 +56,15 @@ from cross_patient_speech_decoding_tpu.utils.labels import (
 def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
                           lab_type: str = "phon", algn_type: str = "phon_seq",
                           seed: int = 0, random_data: bool = False,
-                          noise: float = 0.6, trials_per_class: int = 15):
+                          noise: float = 0.6, trials_per_class: int = 15,
+                          n_patients: int = 4, T: int = 40):
     """Assemble (tar, cross) PatientArrays from a pkl file or synthetic."""
     if data == "synthetic":
-        ds = make_synthetic_patients(seed=seed, n_patients=4, n_classes=9,
-                                     trials_per_class=trials_per_class, T=40,
-                                     channels=(96, 111, 80, 64),
+        chans = (96, 111, 80, 64, 128, 72, 56, 104)[:n_patients]
+        ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
+                                     n_classes=9,
+                                     trials_per_class=trials_per_class, T=T,
+                                     channels=chans,
                                      latent_dim=10, noise=noise)
         Xs = ds.X
         ys = ds.y_first

@@ -86,13 +86,18 @@ class DecodeConfig:
 
 
 def _fit_pca_latents(X, n_comp, max_k, sample_mask=None):
-    """PCA over flattened (N*T, C) with optional per-trial masking."""
+    """PCA over flattened (N*T, C) with optional per-trial masking.
+
+    Uses the Gram path: N*T >> C in every fold program, so the (C, C)
+    covariance eigensolve replaces a brutally tall batched SVD.
+    """
     N, T, C = X.shape
     flat = X.reshape(N * T, C)
     row_mask = None
     if sample_mask is not None:
         row_mask = jnp.repeat(sample_mask, T)
-    st = pca_fit(flat, n_comp, max_components=max_k, sample_mask=row_mask)
+    st = pca_fit(flat, n_comp, max_components=max_k, sample_mask=row_mask,
+                 method="gram")
     return st
 
 

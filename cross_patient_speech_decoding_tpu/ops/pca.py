@@ -88,6 +88,7 @@ def pca_fit(
     max_components: int | None = None,
     center: bool = True,
     sample_mask: jax.Array | None = None,
+    method: str = "svd",
 ) -> PCAState:
     """Fit (masked) PCA on X of shape (N, F).
 
@@ -99,6 +100,10 @@ def pca_fit(
         max_components: static output width K; defaults to min(N, F).
         center: subtract the (masked) mean. False reproduces NoCenterPCA.
         sample_mask: optional (N,) {0,1} validity mask.
+        method: 'svd' (default, most accurate) or 'gram' — PCA never needs
+            the left singular vectors, so the (F, F) covariance eigensolve
+            replaces the tall (N, F) SVD: far cheaper when N >> F (the fold
+            programs' regime) at the cost of squaring the condition number.
     """
     N, F = X.shape
     full_k = min(N, F)
@@ -115,7 +120,13 @@ def pca_fit(
         # invalid rows become exactly zero -> contribute nothing to X^T X
         Xc = (X - mean) * w[:, None]
 
-    _, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
+    if method == "gram":
+        g = hdot(Xc.T, Xc)
+        wv, v = jnp.linalg.eigh(g)
+        s = jnp.sqrt(jnp.maximum(wv[::-1], 0.0))[:full_k]
+        vt = v[:, ::-1].T[:full_k]
+    else:
+        _, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
 
     var = s**2
     total = jnp.maximum(jnp.sum(var), jnp.finfo(X.dtype).tiny)
