@@ -7,6 +7,12 @@ train simultaneously, with per-trial learning rate / weight decay injected
 as traced optimizer hyperparameters (``optax.inject_hyperparams``) riding a
 vmap axis. Epochs run as a ``lax.scan``, so a full rung is a single device
 launch.
+
+``make_ctc_cv_bucket_trainer`` adds the reference's per-trial k-fold CV
+(``train_func_cv`` averaging val_PER over folds, tune_ctc_rnn.py:550-634):
+the (trial x fold) product rides ONE flattened vmap axis — fold membership
+enters as per-sample loss weights, so every fold model sees the same
+arrays.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from cross_patient_speech_decoding_tpu.models.realtime_rnn import (
@@ -23,6 +30,116 @@ from cross_patient_speech_decoding_tpu.models.realtime_rnn import (
 )
 from cross_patient_speech_decoding_tpu.ops.ctc import ctc_loss_mean, greedy_decode
 from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
+
+
+def _weighted_ctc_loss(model, params, x, y, in_adj, ll, w, blank, key):
+    """Per-sample CTC losses reduced with sample weights (fold masks)."""
+    import optax as _optax
+
+    logits = model.apply({"params": params}, x, False, rngs={"dropout": key})
+    T = logits.shape[1]
+    t_idx = jnp.arange(T)[None, :]
+    logit_pad = (t_idx >= in_adj[:, None]).astype(logits.dtype)
+    l_idx = jnp.arange(y.shape[1])[None, :]
+    label_pad = (l_idx >= ll[:, None]).astype(logits.dtype)
+    per_seq = _optax.ctc_loss(logits, logit_pad, y, label_pad, blank)
+    per_seq = jnp.where(per_seq > 1e4, 0.0, per_seq)
+    per_seq = per_seq / jnp.maximum(ll, 1)
+    return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def make_ctc_cv_bucket_trainer(
+    data_batch,
+    fold_train_masks,
+    fold_val_masks,
+    n_classes: int,
+    *,
+    win_size: int = 14,
+    stride: int = 4,
+    blank: int = 0,
+    decay_steps: int = 100,
+    seed: int = 0,
+):
+    """CV variant: train_bucket(configs, epochs) -> mean val PER over folds.
+
+    data_batch: (x, labels, input_lens, label_lens) full arrays;
+    fold_train_masks/fold_val_masks: (F, N) per-fold membership. Each of
+    the B trials trains F fold models (B*F programs in one vmap); the
+    returned metric per trial is the fold-mean val PER — the reference's
+    CV trainable contract.
+    """
+    x, y, il, ll = data_batch
+    F = fold_train_masks.shape[0]
+
+    def train_bucket(cfgs: Sequence[dict], epochs: int):
+        arch = cfgs[0]
+        model = RealtimeRNN(
+            hidden=arch["hidden"], n_layers=arch["n_layers"],
+            n_classes=n_classes, dropout=arch["dropout"],
+            win_size=win_size, stride=stride, blank=blank,
+        )
+        B = len(cfgs)
+        # flatten (trial, fold) into one axis
+        lrs = jnp.repeat(jnp.asarray([c["lr"] for c in cfgs], jnp.float32), F)
+        wds = jnp.repeat(
+            jnp.asarray([c["weight_decay"] for c in cfgs], jnp.float32), F
+        )
+        w_tr = jnp.tile(jnp.asarray(fold_train_masks, jnp.float32), (B, 1))
+        w_va = jnp.tile(jnp.asarray(fold_val_masks, jnp.float32), (B, 1))
+
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=1e-3, weight_decay=1e-4
+        )
+
+        def init_one(key):
+            params = model.init({"params": key}, x[:1])["params"]
+            return params, tx.init(params)
+
+        keys = jax.random.split(jax.random.key(seed), B * F)
+        params, opts = jax.vmap(init_one)(keys)
+        in_adj = adjusted_input_lengths(il, win_size, stride)
+
+        def epoch_step(carry, epoch_key):
+            params, opts = carry
+
+            def per_model(p, o, lr, wd, w, key):
+                loss, grads = jax.value_and_grad(
+                    lambda p_: _weighted_ctc_loss(
+                        model, p_, x, y, in_adj, ll, w, blank, key
+                    )
+                )(p)
+                frac = jnp.minimum(o.count / decay_steps, 1.0)
+                o.hyperparams["learning_rate"] = lr * (1.0 - frac)
+                o.hyperparams["weight_decay"] = wd
+                updates, o2 = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o2
+
+            mkeys = jax.random.split(epoch_key, B * F)
+            params, opts = jax.vmap(per_model)(params, opts, lrs, wds, w_tr, mkeys)
+            return (params, opts), None
+
+        ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
+        (params, _), _ = jax.lax.scan(epoch_step, (params, opts), ekeys)
+
+        def eval_one(p, w):
+            logits = model.apply({"params": p}, x, True)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            mask = jnp.arange(logits.shape[1])[None, :] < in_adj[:, None]
+            dec, lens = greedy_decode(lp, blank, mask)
+            from cross_patient_speech_decoding_tpu.ops.metrics import (
+                edit_distance,
+            )
+
+            dists = jax.vmap(edit_distance)(dec, lens, y, ll)
+            return jnp.sum(dists * w) / jnp.maximum(
+                jnp.sum(ll * w), 1
+            ) * 100.0
+
+        pers = jax.jit(jax.vmap(eval_one))(params, w_va)  # (B*F,)
+        per_trial = np.asarray(pers).reshape(B, F).mean(axis=1)
+        return [float(p) for p in per_trial]
+
+    return train_bucket
 
 
 def make_ctc_bucket_trainer(

@@ -90,3 +90,30 @@ def test_successive_halving_prunes():
     assert calls[0] == (9, 1)
     assert calls[1] == (3, 3)
     assert len(res) == 3
+
+
+def test_cv_bucket_trainer_averages_folds():
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_cv_bucket_trainer,
+    )
+
+    data = _ctc_data(0, n=24)
+    n = 24
+    rng = np.random.default_rng(0)
+    F = 3
+    fold_ids = rng.permutation(n) % F
+    va = np.stack([(fold_ids == f).astype(np.float32) for f in range(F)])
+    tr = 1.0 - va
+    trainer = make_ctc_cv_bucket_trainer(
+        data, tr, va, n_classes=5, win_size=8, stride=4, decay_steps=250
+    )
+    cfgs = [
+        {"lr": 5e-3, "weight_decay": 1e-5, "hidden": 16, "n_layers": 1,
+         "dropout": 0.0},
+        {"lr": 1e-9, "weight_decay": 1e-5, "hidden": 16, "n_layers": 1,
+         "dropout": 0.0},
+    ]
+    pers = trainer(cfgs, epochs=200)
+    assert len(pers) == 2
+    assert pers[0] < 95, pers  # learning trial improves fold-mean PER
+    assert pers[1] > 99, pers  # frozen trial stays blank-collapsed
