@@ -49,7 +49,7 @@ def ctc_loss_mean(
     l_idx = jnp.arange(labels.shape[1])[None, :]
     label_pad = (l_idx >= label_lengths[:, None]).astype(logits.dtype)
 
-    per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id)
+    per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=blank_id)
     per_seq = jnp.where(per_seq > 1e4, 0.0, per_seq)  # zero_infinity analog
     return jnp.mean(per_seq / jnp.maximum(label_lengths, 1))
 
