@@ -185,12 +185,40 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
 
 # ------------------------------------------------------------ train seq2seq ----
 
+def _seq2seq_arrays(cfg: TrainSeq2SeqConfig):
+    """(Xs, y_seq_raw) per patient — synthetic or pt_decoding_data*.pkl.
+
+    The pkl path mirrors train_seq2seq.py:78-96: ``decoding_data_from_dict``
+    with ``p_ind=1``, targets = full phoneme sequences (``tar_data[2]``),
+    and pooled patients carry (X, y_full, y_full).
+    """
+    if cfg.data == "synthetic":
+        ds = make_synthetic_patients(seed=cfg.seed, n_patients=3, n_classes=9,
+                                     trials_per_class=12, T=60,
+                                     channels=(64, 72, 56), latent_dim=10,
+                                     noise=0.5)
+        return list(ds.X), [np.asarray(y) for y in ds.y_seq]
+
+    pt_data = load_pkl(cfg.data)
+    (X_t, _, ya_t), pre = decoding_data_from_dict(
+        pt_data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type
+    )
+    Xs = [np.asarray(X_t, np.float32)]
+    ys = [np.asarray(ya_t)]
+    if cfg.pooled:
+        for X, _, ya in pre:
+            Xs.append(np.asarray(X, np.float32))
+            ys.append(np.asarray(ya))
+    return Xs, ys
+
+
 def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
-    """Seq2seq training on synthetic data: aligned pooling + k-fold CV.
+    """Seq2seq training: aligned pooling + k-fold CV.
 
     One iteration x fold slice of the reference's 50x20 design (scaled by
     cfg.n_iter/n_folds), full pipeline: per-patient PCA -> CCA align ->
-    pool -> Seq2SeqRNN with teacher forcing -> test accuracy.
+    pool -> Seq2SeqRNN with teacher forcing -> test accuracy. Runs from
+    the reference's ``pt_decoding_data*.pkl`` when ``data`` is a path.
     """
     from cross_patient_speech_decoding_tpu.data.splits import (
         stratified_kfold_masks,
@@ -214,29 +242,33 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
         make_optimizer,
     )
 
-    ds = make_synthetic_patients(seed=cfg.seed, n_patients=3, n_classes=9,
-                                 trials_per_class=12, T=60,
-                                 channels=(64, 72, 56), latent_dim=10,
-                                 noise=0.5)
-    T = ds.X[0].shape[1]
+    Xs_raw, y_raw = _seq2seq_arrays(cfg)
+    n_pts = len(Xs_raw)
+    T = Xs_raw[0].shape[1]
     max_k = 24
 
+    # integer class ids of the label sequences (for stratification + CCA)
+    enc = [encode_label_sequences(y) for y in y_raw]
+    uni = np.unique(np.concatenate(enc))
+    strat_ids = [to_class_ids(e, uni)[0] for e in enc]
+
     # per-patient PCA latents + CCA alignment to target (patient 0)
-    tarX = jnp.asarray(ds.X[0], jnp.float32)
+    tarX = jnp.asarray(Xs_raw[0], jnp.float32)
     tar_pca = _fit_pca_latents(tarX, 0.9, max_k)
     tar_lat = _transform_latents(tar_pca, tarX, max_k)
-    ids = [jnp.asarray(i, jnp.int32) for i in ds.class_ids]
+    ids = [jnp.asarray(i, jnp.int32) for i in strat_ids]
     feats = [tar_lat]
-    for p in range(1, 3):
-        X = jnp.asarray(ds.X[p], jnp.float32)
+    for p in range(1, n_pts):
+        X = jnp.asarray(Xs_raw[p], jnp.float32)
         pca = _fit_pca_latents(X, 0.9, max_k)
         lat = _transform_latents(pca, X, max_k)
-        al = fit_cca_aligner(tar_lat, lat, ids[0], ids[p], ds.n_classes)
+        al = fit_cca_aligner(tar_lat, lat, ids[0], ids[p], len(uni))
         feats.append(transform_b_to_a(al, lat))
 
-    # labels: map phoneme digits 1..9 -> classes 0..8; start-token handling
-    # inside the model (num_classes=9)
-    y_seqs = [jnp.asarray(y - 1, jnp.int32) for y in ds.y_seq]
+    # labels: map phoneme digits 1..9 -> classes 0..8 (reference subtracts
+    # 1 from the full sequence labels, train_seq2seq.py:95-96); start-token
+    # handling is inside the model (num_classes=9)
+    y_seqs = [jnp.asarray(np.asarray(y, np.int32) - 1) for y in y_raw]
     model = Seq2SeqRNN(
         n_filters=cfg.n_filters, hidden=cfg.hidden, num_classes=9,
         n_enc_layers=cfg.n_enc_layers, n_dec_layers=cfg.n_dec_layers,
@@ -258,7 +290,7 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
 
         for it in range(cfg.n_iter):
             tr_m, te_m = stratified_kfold_masks(
-                np.asarray(ds.class_ids[0]), cfg.n_folds, rng
+                np.asarray(strat_ids[0]), cfg.n_folds, rng
             )
             X_pool, y_pool, w, te = pooled_fold_arrays(
                 feats[0].reshape(feats[0].shape[0], T, -1),
@@ -290,17 +322,17 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
 
     for it in range(cfg.n_iter):
         tr_m, te_m = stratified_kfold_masks(
-            np.asarray(ds.class_ids[0]), cfg.n_folds, rng
+            np.asarray(strat_ids[0]), cfg.n_folds, rng
         )
         for k in range(cfg.n_folds):
             tr_idx = np.where(tr_m[k] > 0)[0]
             te_idx = np.where(te_m[k] > 0)[0]
             # pooled train: target train rows + all aligned cross rows
             X_train = jnp.concatenate(
-                [feats[0][jnp.asarray(tr_idx)], feats[1], feats[2]]
+                [feats[0][jnp.asarray(tr_idx)]] + list(feats[1:])
             )
             y_train = jnp.concatenate(
-                [y_seqs[0][jnp.asarray(tr_idx)], y_seqs[1], y_seqs[2]]
+                [y_seqs[0][jnp.asarray(tr_idx)]] + list(y_seqs[1:])
             )
             X_test = feats[0][jnp.asarray(te_idx)]
             y_test = y_seqs[0][jnp.asarray(te_idx)]
@@ -330,8 +362,148 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
 
 # --------------------------------------------------------------- train ctc ----
 
+def _tuple_arg(s: str):
+    return tuple(float(x) for x in str(s).split(","))
+
+
+def _with_labels(X, y, T=None):
+    """(X, labels) -> CTC tuple (X, labels, input_lens, label_lens)."""
+    n = len(X)
+    T = X.shape[1] if T is None else T
+    return (
+        np.asarray(X, np.float32),
+        np.asarray(y, np.int32),
+        np.full(n, T, np.int32),
+        np.full(n, y.shape[1], np.int32),
+    )
+
+
+def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
+    """Reference CTC ingestion from the HDF5 file (train_ctc_rnn.py:88-150).
+
+    Target train/test from the file's split; optional stratified target
+    subsample; pooled contexts load every ``train_pts`` patient (one-block
+    patients train-only, others load_all), project through precomputed
+    PCA/CCA transforms when ``pca_path`` is set (tune_ctc_rnn.py:109-205)
+    or fit PCA+CCA on the fly otherwise.
+
+    Returns (datasets, C, test): datasets[0] is the target train set.
+    """
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        apply_latent_xform,
+        load_cca_xform,
+        load_ctc_h5,
+        load_pca_xform,
+    )
+
+    tw_sel, tw_orig = _tuple_arg(cfg.tw_select), _tuple_arg(cfg.tw_orig)
+    X_t, y_t, X_te, y_te = load_ctc_h5(
+        cfg.data, cfg.target_pt, tw_sel, tw_orig, zscore=cfg.zscore,
+        n_sil=cfg.n_sil,
+    )
+    if cfg.target_subsample < 1.0:
+        # stratified train-size subsample by first phoneme (:104-116)
+        keep = []
+        for c in np.unique(y_t[:, 0]):
+            idx = np.where(y_t[:, 0] == c)[0]
+            n_keep = max(1, int(round(cfg.target_subsample * len(idx))))
+            keep.append(rng.permutation(idx)[:n_keep])
+        keep = np.concatenate(keep)
+        X_t, y_t = X_t[keep], y_t[keep]
+
+    if cfg.context == "chance":
+        y_t = y_t[rng.permutation(len(y_t))]
+
+    pooled = cfg.context in ("unaligned", "aligned")
+    cross = []
+    if pooled and cfg.train_pts:
+        only_train_set = set(filter(None, cfg.only_train_pts.split(",")))
+        for pt in cfg.train_pts.split(","):
+            pt = pt.strip()
+            if not pt or pt == cfg.target_pt:
+                continue
+            one_block = pt in only_train_set
+            X_p, y_p, _, _ = load_ctc_h5(
+                cfg.data, pt, tw_sel, tw_orig, zscore=cfg.zscore,
+                only_train=one_block, load_all=not one_block,
+                n_sil=cfg.n_sil,
+            )
+            cross.append((pt, X_p, y_p))
+
+    if not pooled or not cross:
+        datasets = [_with_labels(X_t, y_t)]
+        return datasets, X_t.shape[-1], _with_labels(X_te, y_te)
+
+    align_pt = cfg.align_pt or cfg.target_pt
+    if cfg.pca_path:
+        # precomputed offline transforms (tune_ctc_rnn.py:109-205)
+        W_t = load_pca_xform(cfg.pca_path, cfg.target_pt)
+        M_t = None
+        if cfg.context == "aligned" and cfg.target_pt != align_pt:
+            M_t = load_cca_xform(cfg.cca_path, align_pt, cfg.target_pt)
+        lat_t = apply_latent_xform(X_t, W_t, M_t)
+        lat_te = apply_latent_xform(X_te, W_t, M_t)
+        lats = []
+        for pt, X_p, y_p in cross:
+            W_p = load_pca_xform(cfg.pca_path, pt)
+            M_p = None
+            if cfg.context == "aligned" and pt != align_pt:
+                M_p = load_cca_xform(cfg.cca_path, align_pt, pt)
+            lats.append((apply_latent_xform(X_p, W_p, M_p), y_p))
+        if cfg.context == "unaligned":
+            # truncate to common latent width (tune_ctc_rnn.py:197-205)
+            min_dim = min([lat_t.shape[-1]] + [l.shape[-1] for l, _ in lats])
+            lat_t, lat_te = lat_t[..., :min_dim], lat_te[..., :min_dim]
+            lats = [(l[..., :min_dim], y) for l, y in lats]
+        datasets = [_with_labels(lat_t, y_t)]
+        datasets += [_with_labels(l, y) for l, y in lats]
+        return datasets, lat_t.shape[-1], _with_labels(lat_te, y_te)
+
+    # on-the-fly PCA (+ CCA for the aligned context), fit on train only
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+
+    max_k = 32
+    Xj_t = jnp.asarray(X_t)
+    pca_t = _fit_pca_latents(Xj_t, cfg.n_components, max_k)
+    lat_t = _transform_latents(pca_t, Xj_t, max_k)
+    lat_te = _transform_latents(pca_t, jnp.asarray(X_te), max_k)
+
+    ids = [encode_label_sequences(y_t)]
+    cross_lats = []
+    for pt, X_p, y_p in cross:
+        Xj = jnp.asarray(X_p)
+        pca = _fit_pca_latents(Xj, cfg.n_components, max_k)
+        cross_lats.append((_transform_latents(pca, Xj, max_k), y_p))
+        ids.append(encode_label_sequences(y_p))
+    uni = np.unique(np.concatenate(ids))
+    idsj = [jnp.asarray(to_class_ids(e, uni)[0]) for e in ids]
+
+    datasets = [_with_labels(np.asarray(lat_t, np.float32), y_t)]
+    for i, (lat, y_p) in enumerate(cross_lats):
+        if cfg.context == "aligned":
+            al = fit_cca_aligner(lat_t, lat, idsj[0], idsj[i + 1], len(uni))
+            lat = transform_b_to_a(al, lat)
+        datasets.append(_with_labels(np.asarray(lat, np.float32), y_p))
+    return datasets, max_k, _with_labels(np.asarray(lat_te, np.float32), y_te)
+
+
 def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
-    """Pool/align CTC data per context (select_datamodule analog)."""
+    """Pool/align CTC data per context (select_datamodule analog).
+
+    Returns (datasets, n_features, test): datasets[0] is the target train
+    set; ``test`` is the file-defined held-out set (None for synthetic
+    data, where the caller splits by mask).
+    """
+    if cfg.data != "synthetic":
+        return _load_ctc_files(cfg, rng)
+
     from cross_patient_speech_decoding_tpu.decoders.pooled import (
         _fit_pca_latents,
         _transform_latents,
@@ -345,15 +517,14 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
     X_t, y_t, il_t, ll_t = pts[0]
     if cfg.context == "chance":
         y_t = y_t[rng.permutation(len(y_t))]
-        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1]
+        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1], None
 
     if cfg.context == "patient":
-        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1]
+        return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1], None
 
     # pooled contexts: per-patient PCA to a common width
     max_k = 32
     lats, metas = [], []
-    tar_lat = None
     ids = []
     for i, (X, y, il, ll) in enumerate(pts):
         Xj = jnp.asarray(X)
@@ -373,11 +544,71 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
             lat = transform_b_to_a(al, lat)
         y, il, ll = metas[i]
         out.append((np.asarray(lat, np.float32), y, il, ll))
-    return out, max_k
+    return out, max_k, None
+
+
+_HPARAM_TO_CFG = {
+    # reference tuned-hparam h5 keys -> config field (train_ctc_rnn.py:394-401)
+    "learning_rate": "lr",
+    "gclip_val": "clip",
+    "hidden_size": "hidden",
+    "n_layers": "n_layers",
+    "dropout": "dropout",
+    "l2_reg": "weight_decay",
+}
+
+_CONTEXT_NAMES = {
+    # config context -> reference context string (train_ctc_rnn.py:404-412)
+    "aligned": "aligned",
+    "unaligned": "unaligned",
+    "chance": "chance",
+    "patient": "ptSpecific",
+}
+
+
+def _apply_tuned_hparams(cfg: TrainCTCConfig) -> TrainCTCConfig:
+    """Overlay tuned hparams from a sweep output dir onto the config."""
+    if not cfg.hparam_dir:
+        return cfg
+    import dataclasses
+
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_tuned_hparams,
+    )
+
+    defaults = {k: getattr(cfg, f) for k, f in _HPARAM_TO_CFG.items()}
+    tuned = load_tuned_hparams(
+        cfg.hparam_dir, cfg.target_pt, _CONTEXT_NAMES[cfg.context], defaults
+    )
+    updates = {}
+    for k, f in _HPARAM_TO_CFG.items():
+        typ = type(getattr(cfg, f))
+        updates[f] = typ(tuned[k])
+    return dataclasses.replace(cfg, **updates)
+
+
+def _completed_iters(out_path: str) -> list[float]:
+    """Previously persisted per-iteration results, for kill-and-resume.
+
+    The reference sketched this as ``get_completed_iters`` scanning
+    ``iter_{i}/result.pt`` files (tune_ctc_rnn.py:905-921, commented out);
+    here the incremental results pickle *is* the manifest.
+    """
+    p = Path(out_path)
+    if not p.exists():
+        return []
+    store = load_pkl(p)
+    return [float(np.asarray(a).ravel()[0]) for a in store.get("accs", [])]
 
 
 def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
-    """CTC training/eval for one context; returns test PER per iteration."""
+    """CTC training/eval for one context; returns test PER per iteration.
+
+    File-backed runs (``data=<path.h5>``) follow the full reference
+    pipeline (train_ctc_rnn.py main): h5 ingestion + pooling, tuned-hparam
+    override, per-iteration incremental persistence, and resume (completed
+    iterations are skipped on restart).
+    """
     from cross_patient_speech_decoding_tpu.models import RealtimeRNN
     from cross_patient_speech_decoding_tpu.train import (
         create_train_state,
@@ -389,14 +620,30 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         make_optimizer,
     )
 
-    rng = np.random.default_rng(cfg.seed)
-    pers = []
-    for it in range(cfg.n_iter):
-        datasets, C = _prep_ctc_context(cfg, rng)
+    cfg = _apply_tuned_hparams(cfg)
+    done = _completed_iters(cfg.out) if cfg.out else []
+    pers = list(done[: cfg.n_iter])
+    if pers and verbose:
+        print(f"resuming: {len(pers)}/{cfg.n_iter} iterations already done",
+              flush=True)
+    if cfg.out:
+        Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+
+    for it in range(len(pers), cfg.n_iter):
+        # per-iteration generator so resumed runs are deterministic
+        rng = np.random.default_rng(cfg.seed + 7919 * it)
+        datasets, C, test = _prep_ctc_context(cfg, rng)
         X_t, y_t, il_t, ll_t = datasets[0]
         n = len(X_t)
-        tr, va, te = train_val_test_masks(n, rng, cfg.val_frac, cfg.test_frac)
-        tr_i, va_i, te_i = (np.where(m > 0)[0] for m in (tr, va, te))
+        if test is None:
+            tr, va, te = train_val_test_masks(
+                n, rng, cfg.val_frac, cfg.test_frac
+            )
+            te_i = np.where(te > 0)[0]
+        else:
+            tr, va, _ = train_val_test_masks(n, rng, cfg.val_frac, 0.0)
+            te_i = None
+        tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
 
         def batch(idx):
             return (
@@ -415,6 +662,10 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
             train_batch = tuple(
                 jnp.asarray(np.concatenate(a)) for a in (Xs, ys, ils, lls)
             )
+
+        test_batch = batch(te_i) if test is None else tuple(
+            jnp.asarray(a) for a in test
+        )
 
         model = RealtimeRNN(
             hidden=cfg.hidden, n_layers=cfg.n_layers, n_classes=11,
@@ -436,11 +687,13 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
             mode="min",
             eval_every=max(1, cfg.epochs // 30),
         )
-        test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, batch(te_i))
+        test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, test_batch)
         per = float(test_metrics["per"])
         if cfg.decode == "beam":
-            per = _beam_rescore_per(model, res.best_state, batch(te_i), cfg)
+            per = _beam_rescore_per(model, res.best_state, test_batch, cfg)
         pers.append(per)
+        if cfg.out:
+            append_results_pkl(cfg.out, np.asarray([per]), params=vars(cfg))
         if verbose:
             print(f"iter {it} [{cfg.context}]: test PER {per:.1f}%", flush=True)
     return np.asarray(pers)
@@ -489,13 +742,24 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
     )
 
     rng = np.random.default_rng(cfg.seed)
-    if cfg.align_train:
-        # tune_ctc_rnn_align analog: on-the-fly PCA + CCA aligned pooling
+    pooled = cfg.align_train or cfg.pool_train
+    if pooled or cfg.data != "synthetic":
+        # tune_ctc_rnn[_align] analog: precomputed transforms (pca_path) or
+        # on-the-fly PCA + CCA pooling; file or synthetic data
         from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
 
-        prep_cfg = TrainCTCConfig(context="aligned", seed=cfg.seed,
-                                  n_components=cfg.n_components)
-        datasets, _ = _prep_ctc_context(prep_cfg, rng)
+        context = "aligned" if cfg.align_train else (
+            "unaligned" if cfg.pool_train else "patient"
+        )
+        prep_cfg = TrainCTCConfig(
+            data=cfg.data, target_pt=cfg.target_pt, train_pts=cfg.train_pts,
+            only_train_pts=cfg.only_train_pts, zscore=cfg.zscore,
+            tw_orig=cfg.tw_orig, tw_select=cfg.tw_select, n_sil=cfg.n_sil,
+            pca_path=cfg.pca_path, cca_path=cfg.cca_path,
+            align_pt=cfg.align_pt, context=context, seed=cfg.seed,
+            n_components=cfg.n_components,
+        )
+        datasets, _, _ = _prep_ctc_context(prep_cfg, rng)
         X, y, il, ll = datasets[0]
         tr, va, _ = train_val_test_masks(len(X), rng)
         tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]

@@ -131,38 +131,187 @@ def decoding_data_from_dict(data_dict: dict, pt: str, p_ind: int,
 
 # ----------------------------------------------------------------- HDF5 ----
 
-def load_ctc_h5(path: str | Path, pt: str, zscored: bool = True,
-                tw_orig=(0.0, 4.0), tw_select=(0.5, 3.5), fs: float = 200.0):
-    """Load one patient's CTC data from HDF5 with time-window cropping.
+SIL_TOKEN = 10  # train_ctc_rnn.py:34 (PHON_DICT entry 10 = 'sil')
 
-    Mirrors ``train_ctc_rnn.load_data`` (:264-320): dataset key
-    ``{pt}/norm_rt_HG_pow[_z]`` stored (trials, channels, time), transposed
-    to (trials, time, channels) on load, cropped from tw_orig to tw_select;
-    labels at ``{pt}/phon_seq``.
+
+def load_ctc_h5(path: str | Path, pt: str, tw_select=(0.5, 3.5),
+                tw_orig=(0.0, 4.0), zscore: bool = False,
+                only_train: bool = False, load_all: bool = False,
+                n_sil: int = 0, sil_token: int = SIL_TOKEN):
+    """Load one patient's CTC train/test data from the reference HDF5 layout.
+
+    Exact contract of ``train_ctc_rnn.load_data``
+    (`/root/reference/aligned_decoding/scripts/train_ctc_rnn.py:264-320`):
+
+    - train features at ``{pt}/norm_rt_HG_pow[_z]``, test features at
+      ``{pt}/norm_rt_HG_test_pow[_z]``, both stored (trials, channels,
+      time) and transposed to (trials, time, channels) on load;
+    - labels at ``{pt}/labels_train`` / ``{pt}/labels_test``;
+    - time-window crop via the *inclusive* linspace mask over
+      ``tw_orig`` -> ``tw_select`` (not an index round);
+    - ``n_sil`` silence tokens prepended AND appended to every label row;
+    - ``only_train`` skips test arrays; ``load_all`` concatenates
+      train+test into one training set (used for non-target patients).
+
+    Returns ``(X_train, y_train, X_test, y_test)``; test entries are None
+    under ``only_train``/``load_all``.
     """
     import h5py
 
-    key = "norm_rt_HG_pow_z" if zscored else "norm_rt_HG_pow"
+    key_train = "norm_rt_HG_pow_z" if zscore else "norm_rt_HG_pow"
+    key_test = "norm_rt_HG_test_pow_z" if zscore else "norm_rt_HG_test_pow"
     with h5py.File(str(path), "r") as f:
-        X = np.asarray(f[pt][key], np.float32).transpose(0, 2, 1)
-        y = np.asarray(f[pt]["phon_seq"], np.int64)
-    i0 = int(round((tw_select[0] - tw_orig[0]) * fs))
-    i1 = int(round((tw_select[1] - tw_orig[0]) * fs))
-    return X[:, i0:i1, :], y
+        X_train = np.asarray(f[f"{pt}/{key_train}"], np.float32).transpose(0, 2, 1)
+        y_train = np.asarray(f[f"{pt}/labels_train"], np.int64)
+        if only_train:
+            X_test = y_test = None
+        else:
+            X_test = np.asarray(f[f"{pt}/{key_test}"], np.float32).transpose(0, 2, 1)
+            y_test = np.asarray(f[f"{pt}/labels_test"], np.int64)
+
+    t_orig = np.linspace(tw_orig[0], tw_orig[1], X_train.shape[1])
+    mask = (t_orig >= tw_select[0]) & (t_orig <= tw_select[1])
+    X_train = X_train[:, mask, :]
+    if not only_train:
+        X_test = X_test[:, mask, :]
+
+    for _ in range(n_sil):
+        y_train = np.insert(y_train, 0, sil_token, axis=1)
+        y_train = np.insert(y_train, y_train.shape[1], sil_token, axis=1)
+        if not only_train:
+            y_test = np.insert(y_test, 0, sil_token, axis=1)
+            y_test = np.insert(y_test, y_test.shape[1], sil_token, axis=1)
+
+    if load_all:
+        X_train = np.concatenate([X_train, X_test], axis=0)
+        y_train = np.concatenate([y_train, y_test], axis=0)
+        X_test = y_test = None
+    return X_train, y_train, X_test, y_test
 
 
-def save_ctc_h5(path: str | Path, pt: str, X: np.ndarray, y: np.ndarray,
-                zscored: bool = True):
-    """Write the reference CTC layout (inverse of load_ctc_h5)."""
+def save_ctc_h5(path: str | Path, pt: str, X_train: np.ndarray,
+                y_train: np.ndarray, X_test: np.ndarray | None = None,
+                y_test: np.ndarray | None = None, zscore: bool = False):
+    """Write the reference CTC HDF5 layout (inverse of :func:`load_ctc_h5`).
+
+    Features are given (trials, time, channels) and stored
+    (trials, channels, time) as the reference files are.
+    """
     import h5py
 
-    key = "norm_rt_HG_pow_z" if zscored else "norm_rt_HG_pow"
+    key_train = "norm_rt_HG_pow_z" if zscore else "norm_rt_HG_pow"
+    key_test = "norm_rt_HG_test_pow_z" if zscore else "norm_rt_HG_test_pow"
+    items = [(key_train, X_train.transpose(0, 2, 1)), ("labels_train", y_train)]
+    if X_test is not None:
+        items += [(key_test, X_test.transpose(0, 2, 1)), ("labels_test", y_test)]
     with h5py.File(str(path), "a") as f:
         g = f.require_group(pt)
-        for k, v in ((key, X.transpose(0, 2, 1)), ("phon_seq", y)):
+        for k, v in items:
             if k in g:
                 del g[k]
             g.create_dataset(k, data=v)
+
+
+# ------------------------------------------- precomputed latent transforms ----
+
+def load_pca_xform(pca_path: str | Path, pt: str) -> np.ndarray:
+    """Per-patient offline PCA projection, transposed for X @ W use.
+
+    Contract of ``tune_ctc_rnn.load_pca_xform``
+    (`/root/reference/aligned_decoding/scripts/tune_ctc_rnn.py:1050-1063`):
+    components stored (n_components, n_channels) at ``{pt}/components``.
+    """
+    import h5py
+
+    with h5py.File(str(pca_path), "r") as f:
+        return np.asarray(f[f"{pt}/components"]).T
+
+
+def load_cca_xform(cca_path: str | Path, align_pt: str, source_pt: str) -> np.ndarray:
+    """CCA map from ``source_pt`` latent space into ``align_pt`` space.
+
+    Contract of ``tune_ctc_rnn.load_cca_xform`` (`tune_ctc_rnn.py:
+    1066-1079`): matrix stored at ``{source_pt}_to_{align_pt}/components``.
+    """
+    import h5py
+
+    with h5py.File(str(cca_path), "r") as f:
+        return np.asarray(f[f"{source_pt}_to_{align_pt}/components"])
+
+
+def save_xforms_h5(path: str | Path, pca: dict[str, np.ndarray] | None = None,
+                   cca: dict[tuple[str, str], np.ndarray] | None = None):
+    """Write offline PCA/CCA transforms in the reference layout.
+
+    ``pca[pt]`` is (n_components, n_channels) — stored as-is under
+    ``{pt}/components``; ``cca[(src, tgt)]`` stored under
+    ``{src}_to_{tgt}/components``. The reference produces these files in
+    offline analysis; this writer exists so tuning/tests can exercise the
+    precomputed-transform path end-to-end.
+    """
+    import h5py
+
+    with h5py.File(str(path), "a") as f:
+        for pt, comp in (pca or {}).items():
+            g = f.require_group(pt)
+            if "components" in g:
+                del g["components"]
+            g.create_dataset("components", data=np.asarray(comp))
+        for (src, tgt), comp in (cca or {}).items():
+            g = f.require_group(f"{src}_to_{tgt}")
+            if "components" in g:
+                del g["components"]
+            g.create_dataset("components", data=np.asarray(comp))
+
+
+def apply_latent_xform(X: np.ndarray, pca_xform: np.ndarray,
+                       cca_xform: np.ndarray | None = None) -> np.ndarray:
+    """Project (trials, time, channels) through offline PCA (+ optional CCA).
+
+    Mirrors the tune-time application (`tune_ctc_rnn.py:122-148,169-185`):
+    demean over flattened (trials*time) rows in realtime space (NOT the
+    saved offline mean), then ``X @ pca_xform``, then optionally
+    ``@ cca_xform`` into the alignment patient's space.
+    """
+    n_tr, n_t, n_ch = X.shape
+    Xr = X.reshape(-1, n_ch).astype(np.float64)
+    Xr = Xr - Xr.mean(axis=0, keepdims=True)
+    Xr = Xr @ np.asarray(pca_xform, np.float64)
+    if cca_xform is not None:
+        Xr = Xr @ np.asarray(cca_xform, np.float64)
+    return np.ascontiguousarray(Xr.reshape(n_tr, n_t, -1), dtype=np.float32)
+
+
+# -------------------------------------------------------- tuned hparams ----
+
+def load_tuned_hparams(hparam_dir: str | Path, target_pt: str, context: str,
+                       defaults: dict) -> dict:
+    """Overlay tuned hyperparameters from a previous sweep onto defaults.
+
+    Contract of ``train_ctc_rnn.load_hparams`` (`train_ctc_rnn.py:375-423`):
+    file ``{hparam_dir}/{pt}/{pt}_ctcRNN_{context}_hp.h5`` holds scalar
+    datasets; any key present in ``defaults`` is replaced; a missing file
+    falls back to the defaults (with a console note, as the reference does).
+    Context names: 'aligned' | 'unaligned' | 'chance' | 'ptSpecific'.
+    """
+    import h5py
+
+    out = dict(defaults)
+    fname = Path(hparam_dir).expanduser() / target_pt / (
+        f"{target_pt}_ctcRNN_{context}_hp.h5"
+    )
+    try:
+        with h5py.File(str(fname), "r") as f:
+            for k, v in f.items():
+                if k in out:
+                    val = v[()]
+                    out[k] = val.item() if hasattr(val, "item") else val
+    except (FileNotFoundError, OSError):
+        print(
+            "Saved hyperparameters not found! Using defaults from config.",
+            flush=True,
+        )
+    return out
 
 
 # --------------------------------------------------------------- results ----

@@ -94,8 +94,11 @@ class SVMDecodeConfig:
 class TrainSeq2SeqConfig:
     """Seq2seq trainer (train_seq2seq.py analog)."""
 
-    data: str = "synthetic"
+    data: str = "synthetic"  # path to pt_decoding_data*.pkl or 'synthetic'
     target_pt: str = "S14"
+    p_ind: int = 1  # phoneme-position arrays to decode (train_seq2seq.py:82)
+    lab_type: str = "phon"
+    algn_type: str = "phon_seq"
     n_iter: int = 50
     n_folds: int = 20
     epochs: int = 500
@@ -117,10 +120,29 @@ class TrainSeq2SeqConfig:
 
 @dataclass
 class TrainCTCConfig:
-    """CTC trainer (train_ctc_rnn.py analog)."""
+    """CTC trainer (train_ctc_rnn.py analog).
+
+    ``data`` is 'synthetic' or a path to the reference CTC HDF5 file
+    (keys ``{pt}/norm_rt_HG_pow[_z]``/``labels_train``/test splits —
+    train_ctc_rnn.py:264-320). File-backed runs honor the full reference
+    ingestion: tw crop, sil tokens, per-patient pooling with the
+    only-train patient list, stratified target subsampling, tuned-hparam
+    overrides, and optional precomputed PCA/CCA transforms.
+    """
 
     data: str = "synthetic"
     target_pt: str = "S14"
+    train_pts: str = ""  # comma list of pooled patients ('' = target only)
+    only_train_pts: str = "S33"  # pts with 1 data block (train_ctc_rnn.py:125)
+    zscore: bool = False
+    tw_orig: str = "0,4"
+    tw_select: str = "0.5,3.5"
+    n_sil: int = 0
+    target_subsample: float = 1.0  # stratified train-size fraction
+    hparam_dir: str = ""  # tuned-hparams h5 dir (train_ctc_rnn.py:375-423)
+    pca_path: str = ""  # precomputed {pt}/components h5 (tune_ctc_rnn.py:1050)
+    cca_path: str = ""  # precomputed {src}_to_{tgt}/components h5
+    align_pt: str = ""  # alignment space for precomputed CCA ('' = target)
     context: str = "aligned"  # chance | patient | unaligned | aligned
     n_iter: int = 50
     epochs: int = 300
@@ -139,19 +161,30 @@ class TrainCTCConfig:
     decode: str = "greedy"  # greedy | beam (prefix beam rescoring at test)
     beam_size: int = 100
     seed: int = 0
-    out: str = "results/ctc.h5"
+    out: str = "results/ctc.pkl"  # incremental per-iteration results (resume)
 
 
 @dataclass
 class TuneCTCConfig:
     """CTC hyperparameter sweep (tune_ctc_rnn.py analog)."""
 
-    data: str = "synthetic"
+    data: str = "synthetic"  # 'synthetic' or the reference CTC h5 path
     target_pt: str = "S14"
+    train_pts: str = ""
+    only_train_pts: str = "S33"
+    zscore: bool = False
+    tw_orig: str = "0,4"
+    tw_select: str = "0.5,3.5"
+    n_sil: int = 0
+    pca_path: str = ""  # precomputed transforms (tune_ctc_rnn.py:1050-1079)
+    cca_path: str = ""
+    align_pt: str = ""
     n_trials: int = 30
     rungs: str = "30,100"  # successive-halving epoch rungs
     eta: int = 3
     align_train: bool = False  # tune_ctc_rnn_align: pool aligned cross data
+    pool_train: bool = False  # pool unaligned cross data (tune_ctc_rnn)
+    sampler: str = "random"  # random | tpe (BOHB-style model-based search)
     n_components: float = 0.9
     seed: int = 0
     manifest: str = "results/tune_manifest.jsonl"

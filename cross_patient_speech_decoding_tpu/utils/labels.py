@@ -29,17 +29,22 @@ def encode_label_sequences(labels: np.ndarray) -> np.ndarray:
     """Encode 1-D labels or 2-D label sequences into scalar integer classes.
 
     Equivalent to the reference's ``label2str`` (alignment_utils.py:64-80)
-    but producing integers: a (N, L) array of digits becomes base-10 joined
-    integers; a (N,) array passes through as int64.
+    but producing integers: a (N, L) array of tokens becomes base-11 joined
+    integers (base 11 so the CTC vocabulary 0..10 incl. the sil token is
+    positional-collision-free); a (N,) array passes through as int64. Only
+    uniqueness and ordering-per-position matter — the codes are opaque
+    class keys.
     """
     labels = np.asarray(labels)
     if labels.ndim == 1:
         return labels.astype(np.int64)
     if labels.ndim != 2:
         raise ValueError(f"labels must be 1-D or 2-D, got shape {labels.shape}")
+    if labels.size and (labels.min() < 0 or labels.max() > 10):
+        raise ValueError("label tokens must be in 0..10 (CTC vocabulary)")
     out = np.zeros(labels.shape[0], dtype=np.int64)
     for j in range(labels.shape[1]):
-        out = out * 10 + labels[:, j].astype(np.int64)
+        out = out * 11 + labels[:, j].astype(np.int64)
     return out
 
 

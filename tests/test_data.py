@@ -52,12 +52,85 @@ def test_ctc_h5_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     X = rng.normal(size=(20, 800, 16)).astype(np.float32)  # 4 s @ 200 Hz
     y = rng.integers(1, 10, (20, 3))
+    Xte = rng.normal(size=(6, 800, 16)).astype(np.float32)
+    yte = rng.integers(1, 10, (6, 3))
     path = tmp_path / "rt.h5"
-    save_ctc_h5(path, "S14", X, y)
-    Xc, yc = load_ctc_h5(path, "S14")
-    # tw crop [0,4] -> [0.5,3.5] @ 200 Hz = samples 100:700
-    np.testing.assert_allclose(Xc, X[:, 100:700, :])
+    save_ctc_h5(path, "S14", X, y, Xte, yte)
+
+    Xc, yc, Xtc, ytc = load_ctc_h5(path, "S14")
+    # reference crop: inclusive linspace mask over [0,4] -> [0.5,3.5];
+    # with T=800, t[i] = 4i/799, so indices 100..699 (t=0.5005..3.4988)
+    t = np.linspace(0.0, 4.0, 800)
+    m = (t >= 0.5) & (t <= 3.5)
+    np.testing.assert_allclose(Xc, X[:, m, :])
     np.testing.assert_array_equal(yc, y)
+    np.testing.assert_allclose(Xtc, Xte[:, m, :])
+    np.testing.assert_array_equal(ytc, yte)
+
+    # sil-token insertion: n_sil tokens prepended AND appended per row
+    _, y2, _, y2t = load_ctc_h5(path, "S14", n_sil=2)
+    assert y2.shape == (20, 7) and y2t.shape == (6, 7)
+    assert (y2[:, :2] == 10).all() and (y2[:, -2:] == 10).all()
+    np.testing.assert_array_equal(y2[:, 2:5], y)
+
+    # only_train / load_all branches
+    Xo, yo, none1, none2 = load_ctc_h5(path, "S14", only_train=True)
+    assert none1 is None and none2 is None and len(Xo) == 20
+    Xa, ya, _, _ = load_ctc_h5(path, "S14", load_all=True)
+    assert len(Xa) == 26 and len(ya) == 26
+
+
+def test_xform_h5_roundtrip_and_apply(tmp_path):
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        apply_latent_xform,
+        load_cca_xform,
+        load_pca_xform,
+        save_xforms_h5,
+    )
+
+    rng = np.random.default_rng(3)
+    comp = rng.normal(size=(5, 16))  # (n_components, n_channels)
+    cca = rng.normal(size=(5, 5))
+    path = tmp_path / "xf.h5"
+    save_xforms_h5(path, pca={"S14": comp}, cca={("S22", "S14"): cca})
+    W = load_pca_xform(path, "S14")
+    np.testing.assert_allclose(W, comp.T)
+    M = load_cca_xform(path, "S14", "S22")
+    np.testing.assert_allclose(M, cca)
+
+    X = rng.normal(size=(7, 9, 16)).astype(np.float32)
+    lat = apply_latent_xform(X, W, M)
+    assert lat.shape == (7, 9, 5)
+    # oracle: demean flattened rows, project, align (float64 numpy)
+    Xr = X.reshape(-1, 16).astype(np.float64)
+    Xr = Xr - Xr.mean(0, keepdims=True)
+    ref = (Xr @ comp.T @ cca).reshape(7, 9, 5)
+    np.testing.assert_allclose(lat, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_load_tuned_hparams(tmp_path):
+    import h5py
+
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_tuned_hparams,
+    )
+
+    defaults = {"learning_rate": 1e-3, "hidden_size": 128, "n_layers": 2}
+    # missing file -> defaults unchanged
+    out = load_tuned_hparams(tmp_path, "S14", "aligned", defaults)
+    assert out == defaults
+
+    d = tmp_path / "S14"
+    d.mkdir()
+    with h5py.File(d / "S14_ctcRNN_aligned_hp.h5", "w") as f:
+        f.create_dataset("learning_rate", data=5e-4)
+        f.create_dataset("hidden_size", data=256)
+        f.create_dataset("not_a_key", data=1.0)  # ignored
+    out = load_tuned_hparams(tmp_path, "S14", "aligned", defaults)
+    assert out["learning_rate"] == 5e-4
+    assert out["hidden_size"] == 256
+    assert out["n_layers"] == 2
+    assert "not_a_key" not in out
 
 
 def test_decoding_data_from_dict_contract():
