@@ -29,6 +29,20 @@ def main(n_iter: int = 2, epochs: int = 150):
         print(f"{context:10s}: PER {pers[context].mean():.1f}% "
               f"+- {pers[context].std():.1f}", flush=True)
 
+    # fig_5 stats cell: ordered pairwise Wilcoxon over contexts + BH-FDR
+    from cross_patient_speech_decoding_tpu.analysis import (
+        context_comparison_table,
+    )
+
+    pairs = [("chance", "patient"), ("patient", "unaligned"),
+             ("patient", "aligned"), ("unaligned", "aligned")]
+    flat = {k: np.asarray(v).ravel() for k, v in pers.items()}
+    if flat["chance"].size >= 5:  # needs a distribution per context
+        for r in context_comparison_table(flat, pairs):
+            print(f"Wilcoxon {r.a} vs {r.b}: W={r.statistic:.1f} "
+                  f"p={r.pvalue:.4f} p_fdr={r.pvalue_fdr:.4f}"
+                  f"{' *' if r.significant else ''}")
+
     # data-scaling: synthetic PER-vs-trials curve from the sweep output
     # shape (replace with run_trial_subsample outputs on real data)
     trials = np.array([5, 30, 55, 80, 105])

@@ -55,11 +55,25 @@ def main(n_iter: int = 5):
     print(f"{'random-ctrl':12s}: {rand_accs.mean():.3f} +- {rand_accs.std():.3f}"
           f" (chance {1.0 / n_y:.3f})")
 
-    from scipy.stats import wilcoxon
+    # fig_4-style statistics: one-way ANOVA + Tukey HSD across strategies,
+    # then pairwise Wilcoxon with BH-FDR over the fold distributions
+    from cross_patient_speech_decoding_tpu.analysis import (
+        anova_tukey_by_group,
+        context_comparison_table,
+    )
 
-    a, b = results["sep_align"], results["sep_dimred"]
-    stat = wilcoxon(a, b)
-    print(f"sep_align vs sep_dimred Wilcoxon: p={stat.pvalue:.4f}")
+    (row,) = anova_tukey_by_group({"S14": list(results.values())})
+    names = list(results)
+    print(f"ANOVA across strategies: F={row.f_statistic:.2f} "
+          f"p={row.anova_p:.2e}")
+    i, j = names.index("sep_align"), names.index("sep_dimred")
+    print(f"Tukey sep_align vs sep_dimred: p={row.tukey_p[i, j]:.4f}")
+
+    results["random-ctrl"] = rand_accs
+    for r in context_comparison_table(results):
+        print(f"Wilcoxon {r.a} vs {r.b}: W={r.statistic:.1f} "
+              f"p={r.pvalue:.4f} p_fdr={r.pvalue_fdr:.4f}"
+              f"{' *' if r.significant else ''}")
 
 
 if __name__ == "__main__":
