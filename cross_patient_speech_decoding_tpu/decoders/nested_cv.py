@@ -119,6 +119,126 @@ def make_nested_cv_decoder(
     return jax.jit(run), candidates
 
 
+def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
+    """Jitted scorer: mean inner-CV accuracy of a (n_outer, B) candidate
+    table — one XLA launch per proposal round of the Bayesian search."""
+    fold_fn = _STRATEGIES[strategy]
+
+    def eval_candidate(tar, cross, tr, te, hp):
+        acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=hp)
+        return acc
+
+    def score(tar, cross, inner_tr, inner_te, hp_table):
+        # hp_table: dict of (n_outer, B); inner_tr/te: (n_outer, n_inner, N)
+        def one_outer(args):
+            itr, ite, hp_row = args
+
+            def cand_score(hp):
+                inner = jax.vmap(
+                    eval_candidate, in_axes=(None, None, 0, 0, None)
+                )(tar, cross, itr, ite, hp)
+                return jnp.mean(inner)
+
+            return jax.vmap(cand_score)(hp_row)
+
+        return jax.lax.map(one_outer, (inner_tr, inner_te, hp_table))
+
+    def final_eval(tar, cross, train_masks, test_masks, hp_best):
+        # hp_best: dict of (n_outer,) — refit each outer fold at its best
+        def one(args):
+            tr, te, hp = args
+            acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=hp)
+            return acc
+
+        return jax.lax.map(one, (train_masks, test_masks, hp_best))
+
+    return jax.jit(score), jax.jit(final_eval)
+
+
+def nested_cv_decode_bayes(
+    tar: PatientArrays,
+    cross: Sequence[PatientArrays],
+    cfg: DecodeConfig,
+    n_folds: int = 20,
+    n_rounds: int = 5,
+    n_points: int = 5,
+    n_inner: int = 5,
+    strategy: str = "sep_align",
+    seed: int = 0,
+):
+    """Nested CV with sequential TPE acquisition — the direct analog of the
+    reference's ``BayesSearchCV(n_iter=25, n_points=5)``
+    (`aligned_decode_svm_ncv.py:398-404`): n_rounds batches of n_points
+    candidates per outer fold, each batch proposed from that fold's
+    inner-CV history. Device work stays batched: every round scores the
+    whole (n_outer x n_points) table in one jitted launch; only the
+    proposal step (tiny numpy TPE) runs on host.
+
+    Returns (accs (n_outer,), best_hp dict of (n_outer,) arrays).
+    """
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+    )
+    from cross_patient_speech_decoding_tpu.sweep.bayes import (
+        Float,
+        TPESampler,
+        sample_random,
+    )
+
+    space = {
+        "n_comp": Float(0.5, 0.99),
+        "lam": Float(1e-3, 1e2, log=True),
+        "gamma_scale": Float(0.1, 10.0, log=True),
+    }
+    rng = np.random.default_rng(seed)
+    y = np.asarray(tar.y)
+    tr, te = stratified_kfold_masks(y, n_folds, rng)
+    itr = np.zeros((n_folds, n_inner, len(y)))
+    ite = np.zeros((n_folds, n_inner, len(y)))
+    for k in range(n_folds):
+        itr[k], ite[k] = inner_cv_masks(tr[k], y, n_inner, rng)
+
+    score, final_eval = make_candidate_scorer(strategy, cfg)
+    cross = tuple(cross)
+    itr_j, ite_j = jnp.asarray(itr), jnp.asarray(ite)
+
+    history = [[] for _ in range(n_folds)]  # per fold: [(cfg, -acc)]
+    samplers = [
+        TPESampler(space, seed=seed + 1 + k) for k in range(n_folds)
+    ]
+    names = list(space)
+    for rnd in range(n_rounds):
+        round_cfgs = []
+        for k in range(n_folds):
+            if rnd == 0:
+                round_cfgs.append(sample_random(space, n_points, rng))
+            else:
+                round_cfgs.append(
+                    samplers[k].fit(history[k]).propose(n_points)
+                )
+        hp_table = {
+            name: jnp.asarray(
+                [[c[name] for c in row] for row in round_cfgs], jnp.float32
+            )
+            for name in names
+        }
+        accs = np.asarray(score(tar, cross, itr_j, ite_j, hp_table))
+        for k in range(n_folds):
+            history[k].extend(
+                (c, -float(a)) for c, a in zip(round_cfgs[k], accs[k])
+            )
+
+    best = [min(h, key=lambda cm: cm[1])[0] for h in history]
+    hp_best = {
+        name: jnp.asarray([b[name] for b in best], jnp.float32)
+        for name in names
+    }
+    accs = np.asarray(
+        final_eval(tar, cross, jnp.asarray(tr), jnp.asarray(te), hp_best)
+    )
+    return accs, hp_best
+
+
 def nested_cv_decode(
     tar: PatientArrays,
     cross: Sequence[PatientArrays],

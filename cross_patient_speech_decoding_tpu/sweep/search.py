@@ -98,10 +98,26 @@ class Manifest:
         return rec
 
 
-def _bucket(trials):
+_CTC_ARCH_KEYS = ("hidden", "n_layers", "dropout")
+
+
+def _bucket(trials, bucket_keys=None):
+    """Group trials by their static (architecture) params.
+
+    Default: the CTC arch keys when present (hidden/layers/dropout fix the
+    compiled program's shapes), else every non-float param — continuous
+    params are traced scalars and can share one program.
+    """
     buckets: dict[tuple, list] = {}
     for t in trials:
-        k = (t["hidden"], t["n_layers"], t["dropout"])
+        if bucket_keys is not None:
+            k = tuple((name, t[name]) for name in bucket_keys)
+        elif all(name in t for name in _CTC_ARCH_KEYS):
+            k = tuple((name, t[name]) for name in _CTC_ARCH_KEYS)
+        else:
+            k = tuple(
+                sorted((n, v) for n, v in t.items() if not isinstance(v, float))
+            )
         buckets.setdefault(k, []).append(t)
     return buckets
 

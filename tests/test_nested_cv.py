@@ -74,3 +74,23 @@ def test_nested_cv_decodes_above_chance():
     assert best.shape == (3,)
     assert all(0 <= b < 4 for b in best)
     assert accs.mean() > 1.0 / cfg.n_classes + 0.1, accs
+
+
+def test_nested_cv_bayes_decodes_above_chance():
+    """TPE-proposed candidates (the BayesSearchCV analog) reach at least
+    the random-candidate nested-CV quality at the same trial count."""
+    from cross_patient_speech_decoding_tpu.decoders.nested_cv import (
+        nested_cv_decode_bayes,
+    )
+
+    pts, cfg = _pts()
+    accs, hp_best = nested_cv_decode_bayes(
+        pts[0], (pts[1],), cfg, n_folds=3, n_rounds=2, n_points=3,
+        n_inner=2, seed=0,
+    )
+    assert accs.shape == (3,)
+    for name in ("n_comp", "lam", "gamma_scale"):
+        assert hp_best[name].shape == (3,)
+    assert np.all(np.asarray(hp_best["n_comp"]) >= 0.5)
+    assert np.all(np.asarray(hp_best["n_comp"]) <= 0.99)
+    assert accs.mean() > 1.0 / cfg.n_classes + 0.1, accs
