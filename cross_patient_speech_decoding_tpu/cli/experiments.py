@@ -166,8 +166,19 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     y_host = np.asarray(tar.y)
 
     Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+    # kill-and-resume: per-iteration fold accs already in the incremental
+    # pkl are skipped (per-iteration seeds make the continuation identical
+    # to an uninterrupted run) — the reference's get_completed_iters intent
+    # (tune_ctc_rnn.py:905-921) applied to the SVM driver.
     all_accs = []
-    for it in range(cfg.n_iter):
+    out_p = Path(cfg.out)
+    if out_p.exists():
+        store = load_pkl(out_p)
+        all_accs = [np.asarray(a) for a in store.get("accs", [])][: cfg.n_iter]
+        if all_accs and verbose:
+            print(f"resuming: {len(all_accs)}/{cfg.n_iter} iterations done",
+                  flush=True)
+    for it in range(len(all_accs), cfg.n_iter):
         tr, te = repeated_stratified_kfold_masks(
             y_host, cfg.n_folds, 1, seed=cfg.seed + it
         )

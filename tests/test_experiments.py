@@ -88,3 +88,24 @@ def test_spatial_avg_sweep():
     cfg = SubsampleConfig(n_iter=1, n_folds=2, max_k=8, contact_sizes=(3,))
     results = run_spatial_avg(cfg, verbose=False)
     assert 3 in results
+
+
+def test_svm_decode_resume(tmp_path):
+    """Kill-and-resume for the SVM driver: completed iterations in the
+    incremental pkl are skipped, and the continuation is identical to an
+    uninterrupted run (per-iteration seeding)."""
+    from cross_patient_speech_decoding_tpu.data.loaders import load_pkl
+
+    base = dict(n_iter=2, n_folds=3, fold_batch=3, max_k=12, seed=0)
+    full = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "full.pkl"), **base), verbose=False
+    )
+
+    part_out = str(tmp_path / "part.pkl")
+    base1 = dict(base, n_iter=1)
+    run_svm_decode(SVMDecodeConfig(out=part_out, **base1), verbose=False)
+    resumed = run_svm_decode(
+        SVMDecodeConfig(out=part_out, **base), verbose=False
+    )
+    np.testing.assert_allclose(resumed, full)
+    assert len(load_pkl(part_out)["accs"]) == 2
