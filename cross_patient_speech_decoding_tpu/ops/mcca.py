@@ -91,22 +91,30 @@ def mcca_fit(
         centered.append((X - mean) * w[:, None])
         means.append(mean)
 
-    # block-wise inverse-sqrt of regularized within-view covariance
+    # block-wise inverse-sqrt of the regularized within-view GRAM matrix.
+    # mvlearn convention (_construct_mcca_gevp): raw X^T X (no 1/n) with
+    # RHS_b = (1 - r) * X_b^T X_b + r * I — the identity is NOT scaled by
+    # the sample count, so Gram-vs-covariance normalization changes the
+    # effective regularization by a factor n. We match mvlearn exactly
+    # (parity-tested against a float64 transcription in test_mcca).
     whiteners = []
     for i, Xc in enumerate(centered):
-        cov = hdot(Xc.T, Xc) / n
-        p = cov.shape[0]
-        cov_r = (1.0 - regs) * cov + regs * jnp.eye(p, dtype=dtype)
+        gram = hdot(Xc.T, Xc)
+        p = gram.shape[0]
+        gram_r = (1.0 - regs) * gram + regs * jnp.eye(p, dtype=dtype)
         rmask = None if signal_ranks is None else signal_ranks[i]
-        whiteners.append(_inv_sqrt_psd(cov_r, rmask, reg_floor=0.0))
+        whiteners.append(_inv_sqrt_psd(gram_r, rmask, reg_floor=0.0))
 
-    # whitened concatenated covariance: E_ij = W_i^T C_ij W_j
+    # whitened concatenated Gram: E_ij = W_i^T (X_i^T X_j) W_j — congruent
+    # to mvlearn's LHS v = lambda RHS v (diagonal blocks included, so
+    # eigenvalues live in [0, n_views]); eigh solutions are RHS-orthonormal
+    # exactly like scipy.linalg.eigh(LHS, RHS).
     blocks = []
     for i in range(P):
         row = []
         for j in range(P):
-            C_ij = hdot(centered[i].T, centered[j]) / n
-            row.append(hdot(whiteners[i], hdot(C_ij, whiteners[j])))
+            G_ij = hdot(centered[i].T, centered[j])
+            row.append(hdot(whiteners[i], hdot(G_ij, whiteners[j])))
         blocks.append(row)
     E = jnp.block(blocks)
     E = 0.5 * (E + E.T)

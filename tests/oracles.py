@@ -85,3 +85,71 @@ def oracle_joint_pca_transforms(features, labels, n_components):
     return [
         np.linalg.pinv(c.reshape(-1, c.shape[-1])) @ latent for c in cnd
     ]
+
+
+def oracle_mcca_gevp(Xs, n_components, regs=None, signal_ranks=None):
+    """Float64 transcription of mvlearn.embed.MCCA's fit path.
+
+    mvlearn semantics (mvlearn/embed/mcca.py, the implementation the
+    reference wraps at alignment/AlignMCCA.py:152):
+
+    - center each view;
+    - with ``signal_ranks`` (i_mcca): per-view SVD reduction first —
+      scores U_b @ diag(S_b) with basis V_b — then solve in reduced space
+      and map loadings back through V_b;
+    - GEVP  LHS v = lambda RHS v  with LHS the full block Gram matrix
+      [X_b^T X_c] (diagonal included, so eigenvalues lie in [0, n_views])
+      and RHS = blockdiag((1 - r) X_b^T X_b + r I) — RAW Gram matrices,
+      identity NOT scaled by the sample count;
+    - scipy.linalg.eigh(LHS, RHS) conventions: eigenvectors are
+      RHS-orthonormal, sorted by descending eigenvalue, top n_components;
+    - transform_view(X, b) = (X - mean_b) @ loadings_b.
+
+    Returns (loadings, evals, means).
+    """
+    from scipy.linalg import eigh as generalized_eigh
+
+    Xs = [np.asarray(X, np.float64) for X in Xs]
+    means = [X.mean(0) for X in Xs]
+    Xs = [X - m for X, m in zip(Xs, means)]
+
+    bases = None
+    if signal_ranks is not None:
+        bases, reduced = [], []
+        for X, k in zip(Xs, signal_ranks):
+            U, S, Vt = np.linalg.svd(X, full_matrices=False)
+            bases.append(Vt[:k].T)
+            reduced.append(U[:, :k] * S[:k])
+        Xs = reduced
+
+    dims = [X.shape[1] for X in Xs]
+    n_views = len(Xs)
+    LHS = np.block(
+        [[Xs[b].T @ Xs[c] for c in range(n_views)] for b in range(n_views)]
+    )
+    rhs_blocks = []
+    for b, X in enumerate(Xs):
+        G = X.T @ X
+        if regs is not None:
+            G = (1.0 - regs) * G + regs * np.eye(G.shape[0])
+        rhs_blocks.append(G)
+    RHS = np.zeros_like(LHS)
+    off = 0
+    for G in rhs_blocks:
+        d = G.shape[0]
+        RHS[off : off + d, off : off + d] = G
+        off += d
+
+    evals, evecs = generalized_eigh(LHS, RHS)
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = evals[order]
+    evecs = evecs[:, order]
+
+    loadings, off = [], 0
+    for b, d in enumerate(dims):
+        W = evecs[off : off + d, :]
+        if bases is not None:
+            W = bases[b] @ W
+        loadings.append(W)
+        off += d
+    return loadings, evals, means

@@ -116,3 +116,65 @@ def test_joint_pca_matches_oracle():
         # transform shapes
         t = joint_pca_transform(st, Xs[i], i)
         assert t.shape == ds.X[i].shape[:2] + (6,)
+
+
+def test_mcca_regs_matches_mvlearn_transcription():
+    """Gram-scale regularization parity: loadings/evals vs the float64
+    numpy transcription of mvlearn's GEVP (oracles.oracle_mcca_gevp).
+    mvlearn itself is not installable here; the transcription pins its
+    documented conventions (raw X^T X, unscaled r*I, RHS-orthonormal
+    eigenvectors)."""
+    from oracles import oracle_mcca_gevp
+
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=(60, 4))
+    Xs = [
+        (z @ rng.normal(size=(4, p)) + 0.3 * rng.normal(size=(60, p)))
+        for p in (6, 9, 7)
+    ]
+    k = 4
+    for regs in (0.1, 0.5, 0.9):
+        W_o, ev_o, means_o = oracle_mcca_gevp(Xs, k, regs=regs)
+        st = mcca_fit([jnp.asarray(X, jnp.float32) for X in Xs], k, regs)
+        np.testing.assert_allclose(np.asarray(st.evals), ev_o, rtol=2e-3)
+        for b in range(3):
+            scores_o = (Xs[b] - means_o[b]) @ W_o[b]
+            scores_m = np.asarray(
+                mcca_transform(st, jnp.asarray(Xs[b], jnp.float32), b)
+            )
+            # columns defined up to sign
+            sign = np.sign(
+                np.sum(scores_o * scores_m, axis=0, keepdims=True)
+            )
+            np.testing.assert_allclose(
+                scores_m * sign, scores_o, atol=5e-3 * np.abs(scores_o).max()
+            )
+
+
+def test_mcca_signal_ranks_matches_imcca_transcription():
+    """signal_ranks path == mvlearn i_mcca (SVD-reduce, solve reduced GEVP,
+    map back through the per-view bases)."""
+    from oracles import oracle_mcca_gevp
+
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(80, 3))
+    Xs = [
+        (z @ rng.normal(size=(3, p)) + 0.2 * rng.normal(size=(80, p)))
+        for p in (8, 10)
+    ]
+    k, ranks = 3, [5, 6]
+    W_o, ev_o, means_o = oracle_mcca_gevp(Xs, k, regs=0.5, signal_ranks=ranks)
+    st = mcca_fit(
+        [jnp.asarray(X, jnp.float32) for X in Xs], k, 0.5,
+        signal_ranks=[jnp.asarray(r) for r in ranks],
+    )
+    np.testing.assert_allclose(np.asarray(st.evals), ev_o, rtol=2e-3)
+    for b in range(2):
+        scores_o = (Xs[b] - means_o[b]) @ W_o[b]
+        scores_m = np.asarray(
+            mcca_transform(st, jnp.asarray(Xs[b], jnp.float32), b)
+        )
+        sign = np.sign(np.sum(scores_o * scores_m, axis=0, keepdims=True))
+        np.testing.assert_allclose(
+            scores_m * sign, scores_o, atol=5e-3 * np.abs(scores_o).max()
+        )
