@@ -160,7 +160,7 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam, kernel=cfg.kernel,
-        tar_in_train=cfg.tar_in_train,
+        tar_in_train=cfg.tar_in_train, bagging=cfg.bagging, seed=cfg.seed,
     )
     decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
     y_host = np.asarray(tar.y)
@@ -855,4 +855,54 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
             f"{n_emit} symbols emitted",
             flush=True,
         )
-    return per_bin_ms
+    result = {"amortized_ms": per_bin_ms, "p50_ms": None, "p99_ms": None}
+
+    if cfg.per_step_samples > 0:
+        # honest per-step latency: the SAME jitted single step is
+        # dispatched from python ``per_step_chain`` times per sample (state
+        # donated, so no copies), then ONE host sync. This keeps per-call
+        # dispatch overhead in the measurement — unlike the fused scan —
+        # and amortizes only the fixed tunnel/sync cost, whose baseline is
+        # measured separately on a ready array and subtracted.
+        from cross_patient_speech_decoding_tpu.realtime.simulator import (
+            RealtimeConfig,
+            make_realtime_step,
+        )
+
+        step = jax.jit(
+            make_realtime_step(model, RealtimeConfig()), donate_argnums=1
+        )
+        st = init_realtime_state(model, params, b, a, cfg.n_channels)
+        R = cfg.per_step_chain
+        for r in range(R):  # warmup/compile
+            st, _ = step(params, st, chunks[r % cfg.n_bins], bj, aj)
+        _ = np.asarray(st.n_bins)  # flush the warmup chain
+
+        # sync-cost baseline: host read of an already-computed scalar
+        sync = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = np.asarray(st.n_bins)
+            sync.append(time.perf_counter() - t0)
+        sync_base = float(np.median(sync))
+
+        samples = []
+        for s in range(cfg.per_step_samples):
+            t0 = time.perf_counter()
+            for r in range(R):
+                st, _ = step(params, st, chunks[(s + r) % cfg.n_bins], bj, aj)
+            _ = np.asarray(st.n_bins)
+            samples.append(
+                max(time.perf_counter() - t0 - sync_base, 0.0) / R * 1e3
+            )
+        result["p50_ms"] = float(np.percentile(samples, 50))
+        result["p99_ms"] = float(np.percentile(samples, 99))
+        if verbose:
+            print(
+                f"per-step latency over {cfg.per_step_samples} samples x "
+                f"{R} dispatched steps: p50 {result['p50_ms']:.3f} ms, "
+                f"p99 {result['p99_ms']:.3f} ms (sync baseline "
+                f"{sync_base * 1e3:.0f} ms subtracted)",
+                flush=True,
+            )
+    return result

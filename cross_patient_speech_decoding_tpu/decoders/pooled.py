@@ -83,6 +83,11 @@ class DecodeConfig:
     tar_in_train: bool = True
     mcca_regs: float = 0.5
     mcca_pca_var: float = 1.0
+    # bootstrap-aggregated classifier head (the reference's fixed-param
+    # ``BaggingClassifier(SVC linear, 10)``, aligned_decode_svm.py:262-263);
+    # 0 = single classifier
+    bagging: int = 0
+    seed: int = 0
 
 
 def _fit_pca_latents(X, n_comp, max_k, sample_mask=None):
@@ -130,6 +135,27 @@ def _pool_and_classify(
         w_pool = jnp.ones(X_pool.shape[0], train_mask.dtype)
 
     hp = hp or {}
+    if cfg.bagging > 0:
+        # vmapped bootstrap ensemble (multiplicity-weighted refits); the
+        # reference's bagged-linear-SVC family uses no gamma tuning
+        from cross_patient_speech_decoding_tpu.ops.classifiers import (
+            bagged_classifier_fit,
+            bagged_classifier_predict,
+        )
+
+        clf = bagged_classifier_fit(
+            jax.random.key(cfg.seed),
+            X_pool,
+            y_pool,
+            cfg.n_classes,
+            n_estimators=cfg.bagging,
+            kernel=cfg.kernel,
+            lam=hp.get("lam", cfg.lam),
+            sample_mask=w_pool,
+        )
+        preds = bagged_classifier_predict(clf, tar_feats, kernel=cfg.kernel)
+        acc = balanced_accuracy(tar_y, preds, cfg.n_classes, test_mask)
+        return acc, preds
     gamma = None
     if "gamma_scale" in hp and cfg.kernel == "rbf":
         from cross_patient_speech_decoding_tpu.ops.classifiers import scale_gamma

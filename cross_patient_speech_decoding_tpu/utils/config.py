@@ -82,6 +82,7 @@ class SVMDecodeConfig:
     lam: float = 1.0
     kernel: str = "rbf"
     tar_in_train: bool = True
+    bagging: int = 0  # >0: bootstrap ensemble head (aligned_decode_svm.py:262)
     random_data: bool = False  # -r control: replace cross data with noise
     surrogate: str = "none"  # none | tme | shuffle (supp_fig_11 controls)
     chance: bool = False  # label-shuffle chance decoding
@@ -201,3 +202,8 @@ class RealtimeSimConfig:
     n_layers: int = 2
     n_classes: int = 11
     seed: int = 0
+    # per-step latency distribution: number of timed samples (0 = skip,
+    # report only the scan-amortized figure); each sample queues
+    # ``per_step_chain`` python-dispatched single steps before one sync
+    per_step_samples: int = 0
+    per_step_chain: int = 200

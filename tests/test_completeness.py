@@ -150,3 +150,49 @@ def test_ctc_holdout_pools_cross():
     assert len(fold.test[0]) == 6
     assert len(fold.val[0]) == 3
     assert len(fold.train[0]) == 30 - 9 + 12
+
+
+def test_bagged_decode_fold_at_least_single_model():
+    """DecodeConfig.bagging wires the bootstrap ensemble into the fold
+    program; on noisy data the ensemble matches or beats the single
+    classifier (the reference's BaggingClassifier(SVC linear, 10) family,
+    aligned_decode_svm.py:262-263)."""
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+    from cross_patient_speech_decoding_tpu.decoders import (
+        DecodeConfig,
+        PatientArrays,
+    )
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        decode_fold_sep_align,
+    )
+
+    ds = make_synthetic_patients(seed=4, n_patients=2, n_classes=5,
+                                 trials_per_class=12, T=16,
+                                 channels=(24, 28), latent_dim=4, noise=2.5)
+    uniq = np.unique(np.concatenate(ds.y_first))
+    pts = [
+        PatientArrays(
+            X=jnp.asarray(ds.X[p]),
+            y=jnp.asarray(np.searchsorted(uniq, ds.y_first[p]), jnp.int32),
+            y_align=jnp.asarray(ds.class_ids[p], jnp.int32),
+        )
+        for p in range(2)
+    ]
+    n = len(ds.y_first[0])
+    tr = jnp.asarray((np.arange(n) % 5 != 0).astype(np.float32))
+    te = 1.0 - tr
+
+    base = dict(n_comp=0.9, max_k=8, n_classes=len(uniq),
+                n_align_classes=ds.n_classes, lam=1e-1, kernel="linear")
+    acc_single, _ = decode_fold_sep_align(
+        pts[0], (pts[1],), tr, te, DecodeConfig(**base)
+    )
+    acc_bag, _ = decode_fold_sep_align(
+        pts[0], (pts[1],), tr, te, DecodeConfig(bagging=10, seed=3, **base)
+    )
+    assert float(acc_bag) >= float(acc_single) - 1e-6, (
+        float(acc_bag), float(acc_single),
+    )
+    assert float(acc_bag) > 1.0 / len(uniq)  # above chance

@@ -70,11 +70,14 @@ def test_tune_ctc_smoke(tmp_path):
 
 
 def test_realtime_sim_smoke():
-    ms = run_realtime_sim(
-        RealtimeSimConfig(n_channels=8, n_bins=40, hidden=16, n_layers=1),
+    res = run_realtime_sim(
+        RealtimeSimConfig(n_channels=8, n_bins=40, hidden=16, n_layers=1,
+                          per_step_samples=3, per_step_chain=5),
         verbose=False,
     )
-    assert np.isfinite(ms)
+    assert np.isfinite(res["amortized_ms"])
+    assert np.isfinite(res["p50_ms"]) and np.isfinite(res["p99_ms"])
+    assert res["p50_ms"] <= res["p99_ms"]
 
 
 def test_trial_subsample_sweep():
