@@ -1,17 +1,25 @@
-"""Headline benchmark: batched CCA alignment fits/sec on device.
+"""Headline benchmarks, driver-recorded: ONE JSON line with all three
+BASELINE.md metrics plus an MFU estimate.
 
-The reference's dominant classical workload is 50 iters x 20 folds x
-BayesSearchCV(25 x 5) PCA+CCA fits per patient (SURVEY.md §3.1) executed as
-sequential numpy calls on a CPU cluster. The TPU-native design turns each
-fit into a pure function and vmaps hundreds of them into one XLA launch.
+Primary metric (value/vs_baseline, unchanged from round 1): batched CCA
+alignment fits/sec vs the sequential float64 numpy oracle — the
+reference's dominant classical workload (50 iters x 20 folds x
+BayesSearchCV(25 x 5) PCA+CCA fits, SURVEY.md §3.1).
 
-Metric: complete CCA aligner fits/sec (condition-average -> masked SVD
-orthonormalization -> CCA SVD -> manifold dirs + b->a projector) at
-reference-realistic shapes (150 trials x 200 timepoints x 40 latents, 27
-sequence classes). ``vs_baseline`` is the speedup over the same fit done by
-the float64 numpy oracle (the reference's math) on this host's CPU.
+Extra keys:
+- ``seq2seq_samples_per_sec`` — Seq2SeqRNN train-step throughput at
+  reference scale (B=1000, hidden 500, conv 100, T=200;
+  `train_seq2seq.py:100-147`), on the Pallas fused-GRU path on TPU;
+- ``seq2seq_mfu`` — analytic model FLOPs/s over the chip's f32 peak;
+- ``realtime_amortized_ms_per_bin`` — scan-amortized streaming decode
+  latency (SURVEY.md §3.5 path);
+- ``realtime_p50_ms`` / ``realtime_p99_ms`` — honest per-step latency
+  distribution (python-dispatched single steps, donated state; only the
+  fixed tunnel sync cost is amortized out).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement gotchas (CLAUDE.md): D2H pays ~0.4 s tunnel latency and
+``block_until_ready`` can return early, so each section queues several
+executions and forces ONE tiny host read at the end.
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ def _numpy_oracle_fit(X_a, X_b, y_a, y_b):
     return mb @ np.linalg.pinv(ma)
 
 
-def main():
+def bench_alignment():
     import jax
     import jax.numpy as jnp
 
@@ -68,10 +76,6 @@ def main():
     fit = jax.jit(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C))
     Xa, Xb = jnp.asarray(X_a), jnp.asarray(X_b)
 
-    # warmup/compile; force completion via a tiny host read — on the axon
-    # tunnel, block_until_ready can return before execution finishes, and
-    # any D2H transfer pays ~0.4s fixed latency, so throughput is measured
-    # over several queued executions with ONE scalar read at the end.
     out = fit(Xa, Xb, ids_a, ids_b)
     _ = np.asarray(out.alignment.d[0])
 
@@ -91,15 +95,111 @@ def main():
             X_a[i].astype(np.float64), X_b[i].astype(np.float64), ids, ids
         )
         times_base.append(time.perf_counter() - t0)
-    base_fits_per_sec = 1.0 / min(times_base)
+    return fits_per_sec, fits_per_sec * min(times_base)
 
+
+def _seq2seq_flops_per_step(B, T, C, F, H, K, L, n_cls):
+    """Analytic model FLOPs for one train step (fwd + ~2x bwd)."""
+    Tc = T - K + 1  # VALID conv shrink
+    conv = 2 * B * Tc * K * C * F
+    enc = 2 * (2 * B * Tc * F * 3 * H + 2 * B * Tc * H * 3 * H)  # bidir
+    dec = L * (2 * B * H * 3 * H * 2 + 2 * B * H * n_cls)
+    return 3 * (conv + enc + dec)
+
+
+def _chip_peak():
+    """Per-chip matmul peak FLOP/s (bf16-class MXU passes — the precision
+    the NN stack actually runs at under JAX's default)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 197e12,
+        "v5e": 197e12,
+        "v4": 275e12,
+        "v6": 918e12,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def bench_seq2seq():
+    import jax
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.models import Seq2SeqRNN
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_seq2seq_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import make_optimizer
+
+    B, T, C, F, H, K, L, n_cls = 1000, 200, 30, 100, 500, 10, 3, 9
+    model = Seq2SeqRNN(n_filters=F, hidden=H, num_classes=n_cls)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, n_cls, (B, L)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.key(0), "tf": jax.random.key(1),
+         "dropout": jax.random.key(2)}, x, y, 0.5, False,
+    )
+    tx = make_optimizer(1e-3, 1e-5, 100)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_seq2seq_train_step(model, tx))
+    key = jax.random.key(3)
+    state, m = step(state, (x, y), key)
+    _ = float(m["loss"])
+    N = 10
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = step(state, (x, y), key)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / N
+    flops = _seq2seq_flops_per_step(B, T, C, F, H, K, L, n_cls)
+    return B / dt, (flops / dt) / _chip_peak()
+
+
+def bench_realtime():
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        run_realtime_sim,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import (
+        RealtimeSimConfig,
+    )
+
+    res = run_realtime_sim(
+        RealtimeSimConfig(per_step_samples=7, per_step_chain=200),
+        verbose=False,
+    )
+    return res
+
+
+def main():
+    import jax
+
+    # persistent kernel cache: the fused-GRU train step is a multi-Mosaic
+    # -kernel program whose cold compile through the tunnel helper takes
+    # minutes; warm runs load from disk
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    fits_per_sec, vs_base = bench_alignment()
+    s2s, mfu = bench_seq2seq()
+    rt = bench_realtime()
     print(
         json.dumps(
             {
                 "metric": "alignment_fits_per_sec",
                 "value": round(fits_per_sec, 3),
                 "unit": "fits/s",
-                "vs_baseline": round(fits_per_sec / base_fits_per_sec, 3),
+                "vs_baseline": round(vs_base, 3),
+                "seq2seq_samples_per_sec": round(s2s, 1),
+                "seq2seq_mfu": round(mfu, 4),
+                "realtime_amortized_ms_per_bin": round(
+                    rt["amortized_ms"], 4
+                ),
+                "realtime_p50_ms": round(rt["p50_ms"], 4),
+                "realtime_p99_ms": round(rt["p99_ms"], 4),
             }
         )
     )

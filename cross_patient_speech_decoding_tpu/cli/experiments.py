@@ -290,8 +290,29 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
     train_step = make_seq2seq_train_step(model, tx)
     eval_step = make_seq2seq_eval_step(model)
 
-    rng = np.random.default_rng(cfg.seed)
-    results = []
+    # kill-and-resume: per-iteration fold accuracies persist in a progress
+    # pkl next to the CSV output; per-iteration seeding keeps the
+    # continuation identical to an uninterrupted run
+    progress_path = Path(cfg.out).with_suffix(".progress.pkl") if cfg.out else None
+    done_iters: list[np.ndarray] = []
+    if progress_path is not None and progress_path.exists():
+        done_iters = [
+            np.asarray(a) for a in load_pkl(progress_path).get("accs", [])
+        ][: cfg.n_iter]
+        if done_iters and verbose:
+            print(f"resuming: {len(done_iters)}/{cfg.n_iter} iterations done",
+                  flush=True)
+    results = [float(a) for accs in done_iters for a in np.ravel(accs)]
+
+    def _iter_rng(it):
+        return np.random.default_rng(cfg.seed + 7919 * it)
+
+    def _record_iter(accs):
+        if progress_path is not None:
+            progress_path.parent.mkdir(parents=True, exist_ok=True)
+            append_results_pkl(progress_path, np.asarray(accs),
+                               params=vars(cfg))
+
     if cfg.fold_parallel:
         # all folds of an iteration train as ONE vmapped program
         from cross_patient_speech_decoding_tpu.train.fold_parallel import (
@@ -299,9 +320,9 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
             pooled_fold_arrays,
         )
 
-        for it in range(cfg.n_iter):
+        for it in range(len(done_iters), cfg.n_iter):
             tr_m, te_m = stratified_kfold_masks(
-                np.asarray(strat_ids[0]), cfg.n_folds, rng
+                np.asarray(strat_ids[0]), cfg.n_folds, _iter_rng(it)
             )
             X_pool, y_pool, w, te = pooled_fold_arrays(
                 feats[0].reshape(feats[0].shape[0], T, -1),
@@ -319,6 +340,7 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
             accs, _ = trainer(cfg.epochs)
             accs = np.asarray(accs)
             results.extend(accs.tolist())
+            _record_iter(accs)
             if verbose:
                 print(
                     f"iter {it}: {cfg.n_folds} folds in one program, "
@@ -331,9 +353,10 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
             np.savetxt(cfg.out, out, delimiter=",")
         return out
 
-    for it in range(cfg.n_iter):
+    for it in range(len(done_iters), cfg.n_iter):
+        iter_accs = []
         tr_m, te_m = stratified_kfold_masks(
-            np.asarray(strat_ids[0]), cfg.n_folds, rng
+            np.asarray(strat_ids[0]), cfg.n_folds, _iter_rng(it)
         )
         for k in range(cfg.n_folds):
             tr_idx = np.where(tr_m[k] > 0)[0]
@@ -361,9 +384,11 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
                 eval_every=max(1, cfg.epochs // 20),
             )
             results.append(res.best_metric)
+            iter_accs.append(res.best_metric)
             if verbose:
                 print(f"iter {it} fold {k}: best test acc {res.best_metric:.3f}",
                       flush=True)
+        _record_iter(iter_accs)
     out = np.asarray(results)
     if cfg.out:
         Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)

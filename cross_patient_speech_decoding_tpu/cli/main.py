@@ -57,6 +57,16 @@ def main(argv=None):
     cfg_cls, fn_name = _COMMANDS[args.command]
     cfg = load_config(cfg_cls, args.config, args.overrides)
 
+    # persistent kernel cache: fused-GRU training programs cold-compile in
+    # minutes on the tunneled TPU; warm runs load from disk
+    import pathlib
+
+    import jax
+
+    if jax.default_backend() == "tpu":
+        cache = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache_tpu"
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+
     from cross_patient_speech_decoding_tpu.cli import experiments
 
     if fn_name.startswith("run_") and not hasattr(experiments, fn_name):

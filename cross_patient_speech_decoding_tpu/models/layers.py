@@ -46,10 +46,25 @@ class FusedGRU(nn.Module):
         bi = self.param("bi", nn.initializers.zeros, (3 * H,))
         bh = self.param("bh", nn.initializers.zeros, (3 * H,))
 
-        mm = lambda a, b: jnp.matmul(a, b, precision=self.precision)
-        xi = (mm(x.reshape(B * T, F), wi) + bi).reshape(B, T, 3 * H)
         if h0 is None:
             h0 = jnp.zeros((B, H), x.dtype)
+
+        from cross_patient_speech_decoding_tpu.ops import pallas_gru
+
+        # short sequences (e.g. the 1-step decoder) stay on the scan path:
+        # kernel launch overhead beats any fusion win there
+        if pallas_gru.enabled() and T >= 8:
+            # fully-fused layer (ops/pallas_gru.py): the input projection
+            # happens inside the time sweep — no (B, T, 3H) stream — and
+            # weights + h stay VMEM-resident; custom VJP
+            hs = pallas_gru.gru_layer(
+                x.swapaxes(0, 1), h0, wi, bi, wh, bh, self.reverse
+            )
+            h_last = hs[0] if self.reverse else hs[-1]
+            return hs.swapaxes(0, 1), h_last
+
+        mm = lambda a, b: jnp.matmul(a, b, precision=self.precision)
+        xi = (mm(x.reshape(B * T, F), wi) + bi).reshape(B, T, 3 * H)
 
         def step(h, xt):
             hz = mm(h, wh) + bh

@@ -133,7 +133,18 @@ def make_seq2seq_fold_trainer(
         accs = jax.vmap(eval_one)(p, bs, test_masks)
         return accs, p
 
-    return jax.jit(train_folds, static_argnums=0)
+    def train_folds_scan_rnn(epochs: int):
+        # the fold axis is the batch axis here: keep the XLA scan GRU,
+        # whose small matmuls batch ACROSS folds — serializing one Pallas
+        # kernel instance per fold would forfeit that
+        from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+            disable_pallas_gru,
+        )
+
+        with disable_pallas_gru():
+            return train_folds(epochs)
+
+    return jax.jit(train_folds_scan_rnn, static_argnums=0)
 
 
 def pooled_fold_arrays(tar_feats, tar_y, cross_feats, cross_ys,

@@ -112,3 +112,24 @@ def test_svm_decode_resume(tmp_path):
     )
     np.testing.assert_allclose(resumed, full)
     assert len(load_pkl(part_out)["accs"]) == 2
+
+
+def test_train_seq2seq_resume(tmp_path):
+    """Seq2seq driver resumes from its progress pkl: a 1-iteration run
+    followed by an n_iter=2 run reproduces the uninterrupted 2-iteration
+    result exactly (per-iteration seeding)."""
+    base = dict(n_iter=2, n_folds=2, epochs=3, hidden=16, n_filters=8,
+                fold_parallel=True, seed=0)
+    full = run_train_seq2seq(
+        TrainSeq2SeqConfig(out=str(tmp_path / "full.csv"), **base),
+        verbose=False,
+    )
+    part_out = str(tmp_path / "part.csv")
+    run_train_seq2seq(
+        TrainSeq2SeqConfig(out=part_out, **dict(base, n_iter=1)),
+        verbose=False,
+    )
+    resumed = run_train_seq2seq(
+        TrainSeq2SeqConfig(out=part_out, **base), verbose=False
+    )
+    np.testing.assert_allclose(resumed, full, rtol=1e-5)

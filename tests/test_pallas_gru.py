@@ -1,0 +1,127 @@
+"""Pallas fused-GRU layer parity (interpret mode on the CPU backend).
+
+The same kernels compile with Mosaic on TPU (exercised by bench.py);
+here the fused forward and the custom-VJP backward are checked against
+the lax.scan oracle with identical gate math, in both time directions,
+including non-128-multiple hidden sizes (internal lane padding), odd
+feature widths, and batch tiling/padding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+    disable_pallas_gru,
+    enabled,
+    gru_layer,
+    gru_layer_reference,
+)
+
+
+def _case(seed=0, T=6, B=16, F=10, H=32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, B, F)) * 0.5, jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(B, H)) * 0.3, jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(F, 3 * H)) / np.sqrt(F), jnp.float32)
+    bi = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(H, 3 * H)) / np.sqrt(H), jnp.float32)
+    bh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32)
+    return x, h0, wi, bi, wh, bh
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_forward_matches_scan(reverse):
+    args = _case()
+    hs_p = gru_layer(*args, reverse)
+    hs_r = gru_layer_reference(*args, reverse)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=2e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_custom_vjp_matches_autodiff(reverse):
+    args = _case(seed=3)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a, reverse)))
+
+    gp = jax.grad(loss(gru_layer), argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss(gru_layer_reference), argnums=tuple(range(6)))(*args)
+    for a, b in zip(gp, gr):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
+        )
+
+
+def test_lane_padded_hidden_size():
+    # H=50 pads internally to 128 lanes; padded lanes must stay exactly 0
+    # through the gate algebra so outputs equal the unpadded oracle
+    args = _case(seed=7, H=50, F=9)
+    for reverse in (False, True):
+        hs_p = gru_layer(*args, reverse)
+        hs_r = gru_layer_reference(*args, reverse)
+        np.testing.assert_allclose(
+            np.asarray(hs_p), np.asarray(hs_r), atol=2e-6
+        )
+    # gradients through the padded weights stay correct too
+    gp = jax.grad(lambda *a: jnp.sum(jnp.sin(gru_layer(*a))), argnums=(2, 4))(
+        *args
+    )
+    gr = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(gru_layer_reference(*a))), argnums=(2, 4)
+    )(*args)
+    for a, b in zip(gp, gr):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
+        )
+
+
+def test_batch_tiling_and_padding():
+    # bb_cap smaller than B (several tiles) and B=12 (padded to 16)
+    args = _case(seed=5, B=32)
+    hs_small = gru_layer(*args, False, 8)
+    hs_big = gru_layer(*args, False, 256)
+    np.testing.assert_allclose(
+        np.asarray(hs_small), np.asarray(hs_big), atol=2e-6
+    )
+    args12 = _case(seed=6, B=12)
+    np.testing.assert_allclose(
+        np.asarray(gru_layer(*args12, False)),
+        np.asarray(gru_layer_reference(*args12, False)),
+        atol=2e-6,
+    )
+
+
+def test_gate_off_tpu_and_context_manager():
+    assert enabled() == (jax.default_backend() == "tpu")
+    with disable_pallas_gru():
+        assert not enabled()
+
+
+def test_fused_gru_layer_consistent_across_paths():
+    # FusedGRU output must not depend on the dispatch gate: compare the
+    # layer (scan path on CPU) against a direct gru_layer call on the
+    # layer's own parameters (pins the transpose/param-layout glue)
+    from cross_patient_speech_decoding_tpu.models.layers import FusedGRU
+
+    rng = np.random.default_rng(0)
+    B, T, F, H = 4, 9, 7, 16
+    x = jnp.asarray(rng.normal(size=(B, T, F)), jnp.float32)
+    layer = FusedGRU(hidden=H)
+    params = layer.init(jax.random.key(0), x)
+    out, h_last = layer.apply(params, x)
+
+    p = params["params"]
+    hs = gru_layer(
+        x.swapaxes(0, 1),
+        jnp.zeros((B, H), jnp.float32),
+        p["wi"], p["bi"], p["wh"], p["bh"],
+        False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(hs.swapaxes(0, 1)), atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(hs[-1]), atol=1e-5)
