@@ -79,7 +79,7 @@ def bench_alignment():
     out = fit(Xa, Xb, ids_a, ids_b)
     _ = np.asarray(out.alignment.d[0])
 
-    ITERS = 5
+    ITERS = 10
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = fit(Xa, Xb, ids_a, ids_b)

@@ -64,11 +64,16 @@ class SubsampleConfig:
     contact_sizes: tuple = (2, 4)
     # pitch sweep (in electrode-grid units)
     pitches: tuple = (1.5, 2.5, 4.0)
+    # synthetic-data difficulty (ignored for file-backed data): sweeps are
+    # only informative when the base problem is not saturated
+    noise: float = 0.6
+    trials_per_class: int = 15
 
 
 def _setup(cfg: SubsampleConfig):
     tar, cross, n_y, n_a = _patients_from_config(
-        cfg.data, cfg.target_pt, seed=cfg.seed
+        cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
+        trials_per_class=cfg.trials_per_class,
     )
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,

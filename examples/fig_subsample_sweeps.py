@@ -28,7 +28,10 @@ def main(n_iter: int = 6):
     from cross_patient_speech_decoding_tpu.utils.scaling import log_linear_fit
 
     n_iter = int(n_iter)
-    cfg = SubsampleConfig(n_iter=n_iter, n_folds=3, k_step=30)
+    # hard regime: heavy noise + few trials so resolution/data actually
+    # limit accuracy (a saturated sweep is uninformative)
+    hard = dict(noise=3.0, trials_per_class=8, n_folds=3, n_iter=n_iter)
+    cfg = SubsampleConfig(k_step=15, **hard)
 
     # --- trial-count sweep + log-linear scaling fit (fig_5 flow) ----------
     ks, acc = run_trial_subsample(cfg, verbose=False)
@@ -41,7 +44,7 @@ def main(n_iter: int = 6):
 
     # --- contact-size sweep + permutation test vs full resolution ---------
     res = run_spatial_avg(cfg, verbose=False)
-    base = SubsampleConfig(n_iter=n_iter, n_folds=3, contact_sizes=(1,))
+    base = SubsampleConfig(contact_sizes=(1,), **hard)
     full = run_spatial_avg(base, verbose=False)[1]
     stats, pvals, sizes = [], [], []
     for cs, accs in res.items():
