@@ -2,6 +2,7 @@
 
 from cross_patient_speech_decoding_tpu.parallel.mesh import (
     make_mesh,
+    make_sharded_ctc_train_step,
     batch_sharding,
     replicated,
     shard_batch,

@@ -103,3 +103,53 @@ def test_sharded_sweep_bucket_matches_single_device():
         mesh=mesh,
     )(cfgs, epochs=20)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain), atol=0.5)
+
+
+def test_shard_map_ctc_step_matches_replicated():
+    """Explicit-SPMD (shard_map + pmean) CTC step == single-device step.
+
+    This is the multi-chip integration path for the fused Pallas GRU
+    (each device's kernel sees its local shard); on the CPU test mesh the
+    scan path runs, but the sharding/collective structure is identical.
+    """
+    import optax
+
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+    from cross_patient_speech_decoding_tpu.parallel import (
+        make_mesh,
+        make_sharded_ctc_train_step,
+        shard_batch,
+    )
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_ctc_train_step,
+    )
+
+    model = RealtimeRNN(hidden=16, n_layers=1, n_classes=11, dropout=0.0)
+    B, T, C, L = 16, 40, 6, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 11, (B, L)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+    batch = (x, labels, il, ll)
+
+    variables = model.init(jax.random.key(0), x)
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, variables, tx)
+    key = jax.random.key(1)
+
+    ref_state, ref_m = jax.jit(make_ctc_train_step(model, tx))(
+        state, batch, key
+    )
+
+    mesh = make_mesh(8)
+    sharded_step = make_sharded_ctc_train_step(model, tx, mesh)
+    sh_state, sh_m = sharded_step(state, shard_batch(batch, mesh), key)
+
+    assert float(sh_m["loss"]) == pytest.approx(float(ref_m["loss"]), abs=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sh_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
