@@ -814,13 +814,26 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
         val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
 
     trainer = make_ctc_bucket_trainer(train, val, n_classes=11, seed=cfg.seed)
-    trials = sample_trials(SweepSpace(), cfg.n_trials, seed=cfg.seed)
     Path(cfg.manifest).parent.mkdir(parents=True, exist_ok=True)
     rungs = tuple(int(r) for r in cfg.rungs.split(","))
-    results = run_sweep(
-        trials, trainer, manifest=Manifest(cfg.manifest), rungs=rungs,
-        eta=cfg.eta,
-    )
+    if cfg.sampler == "tpe":
+        # BOHB-style model-based acquisition (tune_ctc_rnn.py:224-232)
+        from cross_patient_speech_decoding_tpu.sweep.bayes import (
+            default_ctc_space,
+            run_bohb,
+        )
+
+        results = run_bohb(
+            default_ctc_space(), trainer, n_trials=cfg.n_trials,
+            batch=min(6, cfg.n_trials), rungs=rungs, eta=cfg.eta,
+            manifest=Manifest(cfg.manifest), seed=cfg.seed,
+        )
+    else:
+        trials = sample_trials(SweepSpace(), cfg.n_trials, seed=cfg.seed)
+        results = run_sweep(
+            trials, trainer, manifest=Manifest(cfg.manifest), rungs=rungs,
+            eta=cfg.eta,
+        )
     if verbose and results:
         best = results[0]
         print(f"best val PER {best['metric']:.1f}% config {best['config']}",

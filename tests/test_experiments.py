@@ -133,3 +133,12 @@ def test_train_seq2seq_resume(tmp_path):
         TrainSeq2SeqConfig(out=part_out, **base), verbose=False
     )
     np.testing.assert_allclose(resumed, full, rtol=1e-5)
+
+
+def test_tune_ctc_tpe_sampler(tmp_path):
+    """sampler=tpe routes through the BOHB acquisition layer end to end."""
+    cfg = TuneCTCConfig(n_trials=3, rungs="2", manifest=str(tmp_path / "m.jsonl"),
+                        sampler="tpe")
+    results = run_tune_ctc(cfg, verbose=False)
+    assert len(results) >= 3
+    assert all(np.isfinite(r["metric"]) for r in results)
