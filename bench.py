@@ -30,6 +30,19 @@ import time
 import numpy as np
 
 
+def _with_compile_retry(fn, *args, attempts: int = 3):
+    """First-call (compile) retry: the tunnel's remote-compile helper
+    occasionally 500s on large programs (docs/ROUND1.md); a retry hits
+    the persistent cache or a fresh helper subprocess."""
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except Exception:
+            if i == attempts - 1:
+                raise
+            time.sleep(5.0)
+
+
 def _numpy_oracle_fit(X_a, X_b, y_a, y_b):
     """Reference-math CCA fit (cnd-avg -> QR -> SVD -> pinv products)."""
     classes = np.unique(y_a)
@@ -56,27 +69,32 @@ def bench_alignment():
     BATCH = 128
     rng = np.random.default_rng(0)
 
-    latent = rng.normal(size=(C, T, 8))
+    latent = rng.normal(size=(C, T, 8)).astype(np.float32)
     ids = np.repeat(np.arange(C), N // C + 1)[:N].astype(np.int32)
 
-    def make_pt(seed):
-        r = np.random.default_rng(seed)
-        mix = r.normal(size=(8, K))
-        return (latent[ids] @ mix + 0.3 * r.normal(size=(N, T, K))).astype(
-            np.float32
-        )
+    # batch generated ON DEVICE (host datagen + the 1.2 GB H2D through the
+    # tunnel cost ~10 min of the bench's budget; only the tiny shared
+    # latent crosses the link). Same generative model as the host path:
+    # per-patient random readout of shared class trajectories + noise.
+    lat_dev = jnp.asarray(latent[ids])  # (N, T, 8)
 
-    X_a = np.stack([make_pt(2 * i) for i in range(BATCH)])
-    X_b = np.stack([make_pt(2 * i + 1) for i in range(BATCH)])
+    @jax.jit
+    def make_batch(key):
+        k1, k2 = jax.random.split(key)
+        mixes = jax.random.normal(k1, (BATCH, 8, K), jnp.float32)
+        noise = 0.3 * jax.random.normal(k2, (BATCH, N, T, K), jnp.float32)
+        return jnp.einsum("ntl,blk->bntk", lat_dev, mixes) + noise
+
+    Xa = make_batch(jax.random.key(0))
+    Xb = make_batch(jax.random.key(1))
     ids_b = jnp.asarray(np.tile(ids, (BATCH, 1)))
     ids_a = ids_b
 
     # native batch axis (not vmap): lets the Pallas Jacobi eigensolver in
     # the gram path run at full block width
     fit = jax.jit(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C))
-    Xa, Xb = jnp.asarray(X_a), jnp.asarray(X_b)
 
-    out = fit(Xa, Xb, ids_a, ids_b)
+    out = _with_compile_retry(fit, Xa, Xb, ids_a, ids_b)
     _ = np.asarray(out.alignment.d[0])
 
     ITERS = 10
@@ -86,14 +104,18 @@ def bench_alignment():
     _ = np.asarray(out.alignment.d[0])  # device stream is ordered: waits all
     fits_per_sec = ITERS * BATCH / (time.perf_counter() - t0)
 
-    # numpy oracle baseline (sequential, float64 — the reference's mode);
-    # best-of-N single-fit time to be robust to host load spikes
+    # numpy oracle baseline (sequential, float64 — the reference's mode):
+    # one host-generated pair from the same generative model, best-of-N
+    # single-fit time to be robust to host load spikes
+    r = np.random.default_rng(1)
+    X_ah = (latent[ids].astype(np.float64) @ r.normal(size=(8, K))
+            + 0.3 * r.normal(size=(N, T, K)))
+    X_bh = (latent[ids].astype(np.float64) @ r.normal(size=(8, K))
+            + 0.3 * r.normal(size=(N, T, K)))
     times_base = []
-    for i in range(5):
+    for _ in range(5):
         t0 = time.perf_counter()
-        _numpy_oracle_fit(
-            X_a[i].astype(np.float64), X_b[i].astype(np.float64), ids, ids
-        )
+        _numpy_oracle_fit(X_ah, X_bh, ids, ids)
         times_base.append(time.perf_counter() - t0)
     return fits_per_sec, fits_per_sec * min(times_base)
 
@@ -149,7 +171,7 @@ def bench_seq2seq():
     state = create_train_state(model, variables, tx)
     step = jax.jit(make_seq2seq_train_step(model, tx))
     key = jax.random.key(3)
-    state, m = step(state, (x, y), key)
+    state, m = _with_compile_retry(step, state, (x, y), key)
     _ = float(m["loss"])
     N = 10
     t0 = time.perf_counter()
