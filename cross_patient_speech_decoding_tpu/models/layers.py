@@ -51,9 +51,12 @@ class FusedGRU(nn.Module):
 
         from cross_patient_speech_decoding_tpu.ops import pallas_gru
 
-        # short sequences (e.g. the 1-step decoder) stay on the scan path:
-        # kernel launch overhead beats any fusion win there
-        if pallas_gru.enabled() and T >= 8:
+        # Pallas only where it pays: long sequences (the 1-step decoder
+        # stays scan) and production-scale batch*time (measured 3.7x at
+        # B*T ~ 191k; at small sizes scan matches it and the multi-kernel
+        # train program's cold compile — minutes through the remote
+        # helper — is not worth amortizing)
+        if pallas_gru.enabled() and T >= 8 and B * T >= 65536:
             # fully-fused layer (ops/pallas_gru.py): the input projection
             # happens inside the time sweep — no (B, T, 3H) stream — and
             # weights + h stay VMEM-resident; custom VJP
