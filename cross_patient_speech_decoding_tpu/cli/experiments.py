@@ -170,14 +170,10 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     # pkl are skipped (per-iteration seeds make the continuation identical
     # to an uninterrupted run) — the reference's get_completed_iters intent
     # (tune_ctc_rnn.py:905-921) applied to the SVM driver.
-    all_accs = []
-    out_p = Path(cfg.out)
-    if out_p.exists():
-        store = load_pkl(out_p)
-        all_accs = [np.asarray(a) for a in store.get("accs", [])][: cfg.n_iter]
-        if all_accs and verbose:
-            print(f"resuming: {len(all_accs)}/{cfg.n_iter} iterations done",
-                  flush=True)
+    all_accs = _completed_results(cfg.out, vars(cfg), scalar=False)[: cfg.n_iter]
+    if all_accs and verbose:
+        print(f"resuming: {len(all_accs)}/{cfg.n_iter} iterations done",
+              flush=True)
     for it in range(len(all_accs), cfg.n_iter):
         tr, te = repeated_stratified_kfold_masks(
             y_host, cfg.n_folds, 1, seed=cfg.seed + it
@@ -295,10 +291,10 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
     # continuation identical to an uninterrupted run
     progress_path = Path(cfg.out).with_suffix(".progress.pkl") if cfg.out else None
     done_iters: list[np.ndarray] = []
-    if progress_path is not None and progress_path.exists():
-        done_iters = [
-            np.asarray(a) for a in load_pkl(progress_path).get("accs", [])
-        ][: cfg.n_iter]
+    if progress_path is not None:
+        done_iters = _completed_results(
+            progress_path, vars(cfg), scalar=False
+        )[: cfg.n_iter]
         if done_iters and verbose:
             print(f"resuming: {len(done_iters)}/{cfg.n_iter} iterations done",
                   flush=True)
@@ -623,18 +619,39 @@ def _apply_tuned_hparams(cfg: TrainCTCConfig) -> TrainCTCConfig:
     return dataclasses.replace(cfg, **updates)
 
 
-def _completed_iters(out_path: str) -> list[float]:
+def _same_run_config(stored: dict, current: dict) -> bool:
+    """True when a persisted results file belongs to THIS run config.
+
+    ``n_iter``/``out`` are allowed to differ (resuming with a larger
+    iteration budget is the use case); anything else — e.g. a different
+    ``context`` writing to the same default path — must NOT resume, or a
+    contexts comparison would silently return the first context's numbers.
+    """
+    skip = {"n_iter", "out"}
+    keys = (set(stored) | set(current)) - skip
+    return all(stored.get(k) == current.get(k) for k in keys)
+
+
+def _completed_results(out_path: str, params: dict, scalar: bool = True):
     """Previously persisted per-iteration results, for kill-and-resume.
 
     The reference sketched this as ``get_completed_iters`` scanning
     ``iter_{i}/result.pt`` files (tune_ctc_rnn.py:905-921, commented out);
-    here the incremental results pickle *is* the manifest.
+    here the incremental results pickle *is* the manifest. A file written
+    by a DIFFERENT config is ignored and deleted (fresh start) so stale
+    results can never masquerade as this run's.
     """
     p = Path(out_path)
     if not p.exists():
         return []
     store = load_pkl(p)
-    return [float(np.asarray(a).ravel()[0]) for a in store.get("accs", [])]
+    if not _same_run_config(store.get("params", {}), params):
+        p.unlink()
+        return []
+    accs = store.get("accs", [])
+    if scalar:
+        return [float(np.asarray(a).ravel()[0]) for a in accs]
+    return [np.asarray(a) for a in accs]
 
 
 def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
@@ -657,7 +674,7 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     )
 
     cfg = _apply_tuned_hparams(cfg)
-    done = _completed_iters(cfg.out) if cfg.out else []
+    done = _completed_results(cfg.out, vars(cfg)) if cfg.out else []
     pers = list(done[: cfg.n_iter])
     if pers and verbose:
         print(f"resuming: {len(pers)}/{cfg.n_iter} iterations already done",
@@ -665,10 +682,22 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     if cfg.out:
         Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
 
+    # ingestion is rng-dependent only for chance-label shuffling and
+    # target subsampling; otherwise hoist it out of the iteration loop —
+    # n_iter=50 would pay 50x the h5 reads, tunnel transfers and PCA/CCA
+    # fits for bitwise-identical datasets
+    prep_invariant = cfg.context != "chance" and cfg.target_subsample >= 1.0
+    prep_cache = None
+    if prep_invariant and len(pers) < cfg.n_iter:
+        prep_cache = _prep_ctc_context(cfg, np.random.default_rng(cfg.seed))
+
     for it in range(len(pers), cfg.n_iter):
         # per-iteration generator so resumed runs are deterministic
         rng = np.random.default_rng(cfg.seed + 7919 * it)
-        datasets, C, test = _prep_ctc_context(cfg, rng)
+        datasets, C, test = (
+            prep_cache if prep_cache is not None
+            else _prep_ctc_context(cfg, rng)
+        )
         X_t, y_t, il_t, ll_t = datasets[0]
         n = len(X_t)
         if test is None:

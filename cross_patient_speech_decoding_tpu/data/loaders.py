@@ -154,9 +154,13 @@ def load_ctc_h5(path: str | Path, pt: str, tw_select=(0.5, 3.5),
       train+test into one training set (used for non-target patients).
 
     Returns ``(X_train, y_train, X_test, y_test)``; test entries are None
-    under ``only_train``/``load_all``.
+    under ``only_train``/``load_all`` (which are mutually exclusive:
+    ``load_all`` needs the test block ``only_train`` skips).
     """
     import h5py
+
+    if only_train and load_all:
+        raise ValueError("only_train and load_all are mutually exclusive")
 
     key_train = "norm_rt_HG_pow_z" if zscore else "norm_rt_HG_pow"
     key_test = "norm_rt_HG_test_pow_z" if zscore else "norm_rt_HG_test_pow"

@@ -135,9 +135,15 @@ def _pool_and_classify(
         w_pool = jnp.ones(X_pool.shape[0], train_mask.dtype)
 
     hp = hp or {}
+    gamma = None
+    if "gamma_scale" in hp and cfg.kernel == "rbf":
+        from cross_patient_speech_decoding_tpu.ops.classifiers import scale_gamma
+
+        gamma = hp["gamma_scale"] * scale_gamma(X_pool, w_pool, feature_mask)
     if cfg.bagging > 0:
-        # vmapped bootstrap ensemble (multiplicity-weighted refits); the
-        # reference's bagged-linear-SVC family uses no gamma tuning
+        # vmapped bootstrap ensemble (multiplicity-weighted refits);
+        # honors the same tuned gamma / feature-mask contract as the
+        # single-classifier path
         from cross_patient_speech_decoding_tpu.ops.classifiers import (
             bagged_classifier_fit,
             bagged_classifier_predict,
@@ -151,16 +157,13 @@ def _pool_and_classify(
             n_estimators=cfg.bagging,
             kernel=cfg.kernel,
             lam=hp.get("lam", cfg.lam),
+            gamma=gamma,
             sample_mask=w_pool,
+            feature_mask=feature_mask,
         )
         preds = bagged_classifier_predict(clf, tar_feats, kernel=cfg.kernel)
         acc = balanced_accuracy(tar_y, preds, cfg.n_classes, test_mask)
         return acc, preds
-    gamma = None
-    if "gamma_scale" in hp and cfg.kernel == "rbf":
-        from cross_patient_speech_decoding_tpu.ops.classifiers import scale_gamma
-
-        gamma = hp["gamma_scale"] * scale_gamma(X_pool, w_pool, feature_mask)
     clf = kernel_classifier_fit(
         X_pool,
         y_pool,

@@ -176,7 +176,9 @@ def bagged_classifier_fit(
     *,
     kernel: str = "linear",
     lam: float = 1.0,
+    gamma=None,
     sample_mask: jax.Array | None = None,
+    feature_mask: jax.Array | None = None,
     balanced: bool = True,
 ) -> KernelClassifier:
     """Bootstrap-aggregated classifier — the reference's
@@ -203,8 +205,8 @@ def bagged_classifier_fit(
 
     def fit_one(w):
         return kernel_classifier_fit(
-            X, y, n_classes, lam=lam, sample_mask=w, kernel=kernel,
-            balanced=balanced,
+            X, y, n_classes, lam=lam, gamma=gamma, sample_mask=w,
+            feature_mask=feature_mask, kernel=kernel, balanced=balanced,
         )
 
     return jax.vmap(fit_one)(counts)

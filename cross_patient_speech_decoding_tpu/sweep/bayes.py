@@ -243,7 +243,10 @@ def run_bohb(
             cfgs = sampler.fit(fit_pool[0]).propose(k)
         n_proposed += len(cfgs)
 
-        live = cfgs
+        # resume/dedupe: configs already completed in the manifest keep
+        # their recorded result (already in ``obs`` — loaded at startup or
+        # appended when their bracket finished) instead of retraining
+        live = [c for c in cfgs if manifest.completed(c) is None]
         for i, epochs in enumerate(rungs):
             if not live:
                 break

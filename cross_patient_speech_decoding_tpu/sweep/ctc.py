@@ -42,7 +42,7 @@ def _weighted_ctc_loss(model, params, x, y, in_adj, ll, w, blank, key):
     logit_pad = (t_idx >= in_adj[:, None]).astype(logits.dtype)
     l_idx = jnp.arange(y.shape[1])[None, :]
     label_pad = (l_idx >= ll[:, None]).astype(logits.dtype)
-    per_seq = _optax.ctc_loss(logits, logit_pad, y, label_pad, blank)
+    per_seq = _optax.ctc_loss(logits, logit_pad, y, label_pad, blank_id=blank)
     per_seq = jnp.where(per_seq > 1e4, 0.0, per_seq)
     per_seq = per_seq / jnp.maximum(ll, 1)
     return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -72,6 +72,17 @@ def make_ctc_cv_bucket_trainer(
     F = fold_train_masks.shape[0]
 
     def train_bucket(cfgs: Sequence[dict], epochs: int):
+        # trial/fold models ride a vmap axis: keep the XLA scan GRU, whose
+        # small matmuls batch ACROSS models — a Pallas kernel under vmap
+        # would serialize per instance on the sequential TPU grid
+        from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+            disable_pallas_gru,
+        )
+
+        with disable_pallas_gru():
+            return _train_bucket(cfgs, epochs)
+
+    def _train_bucket(cfgs: Sequence[dict], epochs: int):
         arch = cfgs[0]
         model = RealtimeRNN(
             hidden=arch["hidden"], n_layers=arch["n_layers"],
@@ -169,6 +180,17 @@ def make_ctc_bucket_trainer(
     x_tr, y_tr, il_tr, ll_tr = train_batch
 
     def train_bucket(cfgs: Sequence[dict], epochs: int):
+        # trial/fold models ride a vmap axis: keep the XLA scan GRU, whose
+        # small matmuls batch ACROSS models — a Pallas kernel under vmap
+        # would serialize per instance on the sequential TPU grid
+        from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+            disable_pallas_gru,
+        )
+
+        with disable_pallas_gru():
+            return _train_bucket(cfgs, epochs)
+
+    def _train_bucket(cfgs: Sequence[dict], epochs: int):
         arch = cfgs[0]
         model = RealtimeRNN(
             hidden=arch["hidden"],

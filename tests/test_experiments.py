@@ -142,3 +142,20 @@ def test_tune_ctc_tpe_sampler(tmp_path):
     results = run_tune_ctc(cfg, verbose=False)
     assert len(results) >= 3
     assert all(np.isfinite(r["metric"]) for r in results)
+
+
+def test_resume_ignores_other_configs_results(tmp_path):
+    """Sharing one out path across configs (e.g. the contexts comparison
+    writing to the default path) must NOT resume from the other config's
+    results — the stored params are validated, mismatches start fresh."""
+    out = str(tmp_path / "shared.pkl")
+    base = dict(n_iter=1, epochs=3, hidden=8, n_layers=1, out=out)
+    run_train_ctc(TrainCTCConfig(context="patient", **base), verbose=False)
+    shared = run_train_ctc(TrainCTCConfig(context="chance", **base), verbose=False)
+
+    solo = run_train_ctc(
+        TrainCTCConfig(context="chance",
+                       **dict(base, out=str(tmp_path / "solo.pkl"))),
+        verbose=False,
+    )
+    np.testing.assert_allclose(shared, solo)
