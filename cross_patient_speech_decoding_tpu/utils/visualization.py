@@ -97,3 +97,23 @@ def plot_latent_trajectories_3d(latents, dims=(0, 1, 2), labels=None,
     if save_path:
         fig.savefig(save_path, dpi=150)
     return fig
+
+
+def plot_rdm(rdm, labels=None, title=None, cmap="viridis", save_path=None):
+    """Representational-dissimilarity-matrix heatmap (fig_6 ``plot_rdm``,
+    `figure_analyses/fig_6.ipynb` cell 15)."""
+    plt = _plt()
+    rdm = np.asarray(rdm)
+    fig = plt.figure(figsize=(6, 5))
+    im = plt.imshow(rdm, cmap=cmap)
+    plt.colorbar(im)
+    if labels is not None:
+        ticks = np.arange(len(labels))
+        plt.xticks(ticks, labels, rotation=90)
+        plt.yticks(ticks, labels)
+    if title:
+        plt.title(title)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
