@@ -973,3 +973,62 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
                 flush=True,
             )
     return result
+
+
+# ----------------------------------------------------------------- analyze ----
+
+def run_analyze(cfg, verbose: bool = True):
+    """Statistical comparison of saved result pickles — the reference's
+    fig_4/fig_5 notebook flow over driver outputs (`figure_analyses/
+    fig_4.ipynb` cells 16/18, `fig_5.ipynb` stats cells).
+
+    Each input pickle is an incremental results store
+    (``append_results_pkl``); per-iteration fold accuracies/PERs are
+    reduced to per-iteration means, then: all pairwise paired tests
+    (Wilcoxon or sign-flip permutation) with BH-FDR, plus one-way ANOVA +
+    Tukey HSD when 3+ groups are given. Returns a dict with the
+    comparison rows and the ANOVA result.
+    """
+    from cross_patient_speech_decoding_tpu.analysis import (
+        anova_tukey_by_group,
+        context_comparison_table,
+        paired_permutation_test,
+        wilcoxon_signed_rank,
+    )
+
+    groups: dict[str, np.ndarray] = {}
+    for spec in cfg.inputs.split(","):
+        spec = spec.strip()
+        if not spec:
+            continue
+        name, _, path = spec.partition("=")
+        if not path:
+            raise ValueError(f"input '{spec}' is not name=path")
+        store = load_pkl(path)
+        groups[name] = np.array(
+            [float(np.ravel(a).mean()) for a in store.get("accs", [])]
+        )
+    if len(groups) < 2:
+        raise ValueError("need at least two name=path inputs to compare")
+    n_common = min(len(v) for v in groups.values())
+    groups = {k: v[:n_common] for k, v in groups.items()}
+
+    test = (paired_permutation_test if cfg.test == "permutation"
+            else wilcoxon_signed_rank)
+    rows = context_comparison_table(groups, alpha=cfg.alpha, test=test)
+    result = {"groups": groups, "pairwise": rows, "anova": None}
+    if len(groups) >= 3:
+        (anova_row,) = anova_tukey_by_group({"all": list(groups.values())})
+        result["anova"] = anova_row
+    if verbose:
+        for name, vals in groups.items():
+            print(f"{name:12s}: {vals.mean():.3f} +- {vals.std():.3f} "
+                  f"(n={len(vals)})", flush=True)
+        for r in rows:
+            print(f"{cfg.test} {r.a} vs {r.b}: stat={r.statistic:.2f} "
+                  f"p={r.pvalue:.4f} p_fdr={r.pvalue_fdr:.4f}"
+                  f"{' *' if r.significant else ''}", flush=True)
+        if result["anova"] is not None:
+            a = result["anova"]
+            print(f"ANOVA: F={a.f_statistic:.2f} p={a.anova_p:.2e}", flush=True)
+    return result

@@ -21,6 +21,7 @@ from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
     SubsampleConfig,
 )
 from cross_patient_speech_decoding_tpu.utils.config import (
+    AnalyzeConfig,
     RealtimeSimConfig,
     SVMDecodeConfig,
     TrainCTCConfig,
@@ -35,6 +36,7 @@ _COMMANDS = {
     "train-ctc": (TrainCTCConfig, "run_train_ctc"),
     "tune-ctc": (TuneCTCConfig, "run_tune_ctc"),
     "realtime-sim": (RealtimeSimConfig, "run_realtime_sim"),
+    "analyze": (AnalyzeConfig, "run_analyze"),
     "subsample-trials": (SubsampleConfig, "run_trial_subsample"),
     "subsample-grid": (SubsampleConfig, "run_grid_subsample"),
     "subsample-spatial": (SubsampleConfig, "run_spatial_avg"),

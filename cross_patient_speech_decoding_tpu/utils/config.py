@@ -192,6 +192,18 @@ class TuneCTCConfig:
 
 
 @dataclass
+class AnalyzeConfig:
+    """Statistical comparison of saved experiment results (the fig_4 /
+    fig_5 notebook flows applied to driver output pickles)."""
+
+    # comma-separated name=path pairs of incremental results pickles,
+    # e.g. "patient=results/ps.pkl,aligned=results/aligned.pkl"
+    inputs: str = ""
+    alpha: float = 0.05
+    test: str = "wilcoxon"  # wilcoxon | permutation (paired, per iteration)
+
+
+@dataclass
 class RealtimeSimConfig:
     """Streaming decode simulation + latency report."""
 

@@ -159,3 +159,36 @@ def test_resume_ignores_other_configs_results(tmp_path):
         verbose=False,
     )
     np.testing.assert_allclose(shared, solo)
+
+
+def test_analyze_results_comparison(tmp_path):
+    """cpsd analyze: fig_4/fig_5 statistics straight from driver result
+    pickles, matching scipy on the same data."""
+    from scipy import stats as ss
+
+    from cross_patient_speech_decoding_tpu.cli.experiments import run_analyze
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        append_results_pkl,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import AnalyzeConfig
+
+    rng = np.random.default_rng(0)
+    paths = {}
+    means = {"patient": 0.35, "unaligned": 0.3, "aligned": 0.55}
+    for name, mu in means.items():
+        p = tmp_path / f"{name}.pkl"
+        for _ in range(8):  # 8 iterations x 4 folds
+            append_results_pkl(p, rng.normal(mu, 0.04, 4), params={"x": name})
+        paths[name] = str(p)
+
+    cfg = AnalyzeConfig(
+        inputs=",".join(f"{k}={v}" for k, v in paths.items())
+    )
+    res = run_analyze(cfg, verbose=False)
+    assert res["anova"] is not None and res["anova"].anova_p < 0.05
+    by_pair = {(r.a, r.b): r for r in res["pairwise"]}
+    a = res["groups"]["patient"]
+    b = res["groups"]["aligned"]
+    ref = ss.wilcoxon(a, b)
+    assert by_pair[("patient", "aligned")].pvalue == pytest.approx(ref.pvalue)
+    assert by_pair[("patient", "aligned")].significant
