@@ -143,7 +143,9 @@ def wilcoxon_signed_rank(x, y=None, *, zero_method="wilcox",
 
     Semantics of ``scipy.stats.wilcoxon`` (the reference's fig_5/fig_6
     context-comparison test): exact distribution when n <= 50 with no
-    ties/zeros, else normal approximation with tie correction.
+    ties/zeros, else normal approximation with tie correction. Degenerate
+    samples (all differences zero, where scipy raises) return NaN —
+    :func:`fdr_bh` excludes NaNs from the correction.
     """
     fn = lambda *a: _wilcoxon_1d(*a, zero_method=zero_method,
                                  alternative=alternative, method=method)
@@ -392,15 +394,24 @@ def fdr_bh(pvals, *, alpha: float = 0.05, axis: int = -1):
     """
     p = np.asarray(pvals, np.float64)
     p = np.moveaxis(p, axis, -1)
-    n = p.shape[-1]
-    order = np.argsort(p, axis=-1)
-    ranked = np.take_along_axis(p, order, -1) * n / np.arange(1, n + 1)
+    # NaN p-values (degenerate tests, e.g. Wilcoxon on all-zero paired
+    # diffs) stay NaN and are EXCLUDED from the correction count — one
+    # degenerate pair must not poison every other comparison
+    valid = np.isfinite(p)
+    n = valid.sum(axis=-1, keepdims=True)
+    p_sort = np.where(valid, p, np.inf)
+    order = np.argsort(p_sort, axis=-1)
+    ranked = np.take_along_axis(p_sort, order, -1) * n / np.arange(
+        1, p.shape[-1] + 1
+    )
     adj = np.minimum.accumulate(ranked[..., ::-1], axis=-1)[..., ::-1]
     adj = np.clip(adj, 0.0, 1.0)
     out = np.empty_like(adj)
     np.put_along_axis(out, order, adj, -1)
+    out = np.where(valid, out, np.nan)
     out = np.moveaxis(out, -1, axis)
-    return out <= alpha, out
+    reject = np.where(np.moveaxis(valid, -1, axis), out <= alpha, False)
+    return reject, out
 
 
 def paired_permutation_test(a, b, *, n_resamples: int = 9999, seed=0,

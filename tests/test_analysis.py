@@ -342,3 +342,29 @@ class TestContextTables:
         for row, p, pf in zip(res.followups, pvals, p_fdr):
             assert row.pvalue == pytest.approx(p)
             assert row.pvalue_fdr == pytest.approx(pf)
+
+
+class TestDegenerateInputs:
+    def test_wilcoxon_all_zero_diffs_is_nan(self):
+        x = np.ones(10)
+        res = an.wilcoxon_signed_rank(x, x)
+        assert np.isnan(res.pvalue)
+
+    def test_fdr_excludes_nans(self):
+        p = np.array([0.01, np.nan, 0.04, 0.5])
+        reject, adj = an.fdr_bh(p)
+        assert np.isnan(adj[1]) and not reject[1]
+        valid = np.array([0.01, 0.04, 0.5])
+        ref = ss.false_discovery_control(valid)
+        np.testing.assert_allclose(adj[[0, 2, 3]], ref)
+
+    def test_context_table_with_degenerate_pair(self):
+        groups = {
+            "a": np.full(8, 1.0),
+            "b": np.full(8, 1.0),  # identical to a -> NaN pair
+            "c": np.linspace(0.1, 0.4, 8),
+        }
+        rows = an.context_comparison_table(groups)
+        by = {(r.a, r.b): r for r in rows}
+        assert np.isnan(by[("a", "b")].pvalue_fdr)
+        assert np.isfinite(by[("a", "c")].pvalue_fdr)  # not poisoned
