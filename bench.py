@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 
-def _with_compile_retry(fn, *args, attempts: int = 3):
+def _with_compile_retry(fn, *args, attempts: int = 3, delay: float = 5.0):
     """First-call (compile) retry: the tunnel's remote-compile helper
     occasionally 500s on large programs (docs/ROUND1.md); a retry hits
     the persistent cache or a fresh helper subprocess."""
@@ -40,7 +40,7 @@ def _with_compile_retry(fn, *args, attempts: int = 3):
         except Exception:
             if i == attempts - 1:
                 raise
-            time.sleep(5.0)
+            time.sleep(delay)
 
 
 def _numpy_oracle_fit(X_a, X_b, y_a, y_b):

@@ -996,6 +996,10 @@ def run_analyze(cfg, verbose: bool = True):
         wilcoxon_signed_rank,
     )
 
+    if cfg.test not in ("wilcoxon", "permutation"):
+        raise ValueError(
+            f"test must be 'wilcoxon' or 'permutation', got '{cfg.test}'"
+        )
     groups: dict[str, np.ndarray] = {}
     for spec in cfg.inputs.split(","):
         spec = spec.strip()
@@ -1004,13 +1008,20 @@ def run_analyze(cfg, verbose: bool = True):
         name, _, path = spec.partition("=")
         if not path:
             raise ValueError(f"input '{spec}' is not name=path")
+        if name in groups:
+            raise ValueError(f"duplicate input name '{name}'")
         store = load_pkl(path)
-        groups[name] = np.array(
-            [float(np.ravel(a).mean()) for a in store.get("accs", [])]
-        )
+        accs = store.get("accs", [])
+        if not accs:
+            raise ValueError(f"'{path}' has no per-iteration results")
+        groups[name] = np.array([float(np.ravel(a).mean()) for a in accs])
     if len(groups) < 2:
         raise ValueError("need at least two name=path inputs to compare")
-    n_common = min(len(v) for v in groups.values())
+    lengths = {k: len(v) for k, v in groups.items()}
+    n_common = min(lengths.values())
+    if verbose and len(set(lengths.values())) > 1:
+        print(f"note: unequal iteration counts {lengths}; paired tests use "
+              f"the first {n_common} iterations of each", flush=True)
     groups = {k: v[:n_common] for k, v in groups.items()}
 
     test = (paired_permutation_test if cfg.test == "permutation"

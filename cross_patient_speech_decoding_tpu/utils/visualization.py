@@ -104,16 +104,15 @@ def plot_rdm(rdm, labels=None, title=None, cmap="viridis", save_path=None):
     `figure_analyses/fig_6.ipynb` cell 15)."""
     plt = _plt()
     rdm = np.asarray(rdm)
-    fig = plt.figure(figsize=(6, 5))
-    im = plt.imshow(rdm, cmap=cmap)
-    plt.colorbar(im)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(rdm, cmap=cmap)
+    fig.colorbar(im, ax=ax)
     if labels is not None:
         ticks = np.arange(len(labels))
-        plt.xticks(ticks, labels, rotation=90)
-        plt.yticks(ticks, labels)
+        ax.set_xticks(ticks, labels, rotation=90)
+        ax.set_yticks(ticks, labels)
     if title:
-        plt.title(title)
+        ax.set_title(title)
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
-        plt.close(fig)
     return fig

@@ -52,14 +52,14 @@ def test_bench_compile_retry_retries_then_raises():
             raise RuntimeError("HTTP 500")
         return "ok"
 
-    assert bench._with_compile_retry(flaky, 1, attempts=3) == "ok"
+    assert bench._with_compile_retry(flaky, 1, attempts=3, delay=0.0) == "ok"
     assert len(calls) == 2
 
     def dead(x):
         raise RuntimeError("always")
 
     try:
-        bench._with_compile_retry(dead, 1, attempts=2)
+        bench._with_compile_retry(dead, 1, attempts=2, delay=0.0)
         raise AssertionError("should have raised")
     except RuntimeError:
         pass
