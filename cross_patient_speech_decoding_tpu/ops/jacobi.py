@@ -128,26 +128,48 @@ def batched_eigh(A: jax.Array, sweeps: int = 8):
     matrices; measured crossover vs XLA eigh is ~K=64-120 on v5e),
     LAPACK-backed ``jnp.linalg.eigh`` elsewhere (exact)."""
     if jax.default_backend() == "tpu" and A.shape[-1] <= 64:
-        return jacobi_eigh_pallas(A, sweeps=sweeps, block=32)
+        return jacobi_eigh_pallas(A, sweeps=sweeps)
     return jnp.linalg.eigh(A)
 
 
-def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
+def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 64,
+                       interpret: bool | None = None):
     """Pallas TPU backend: A, V live in VMEM across all rotation steps.
 
-    A is (..., K, K); leading dims are flattened into the kernel grid.
-    Falls back to :func:`jacobi_eigh` on non-TPU backends.
+    A is (..., K, K); leading dims are flattened and tiled into the
+    kernel grid in ``block``-sized batch tiles. Falls back to
+    :func:`jacobi_eigh` on non-TPU backends unless ``interpret`` forces
+    the interpreter (CPU parity tests).
+
+    Kernel formulation (v2 — the v1 body used per-iteration BATCHED
+    (block, K, K) dot_generals, which Mosaic executes as `block` tiny
+    MXU ops each; at K=40 per-op overhead dominated and the eigh was
+    ~75% of the whole alignment fit). Because the per-step rotation
+    pattern P is SHARED across the batch (only the angles c, s differ),
+    every product against R = diag(c) + P*s splits into one FLAT
+    (B*K, K) @ (K, K) matmul plus elementwise scaling:
+
+        A R   = A * c[col] + (flat(A) @ P) * s_perm[col]
+        R^T B = ((flat(B^T) @ P) * s_perm[col] + B^T * c[col])^T,
+
+    and since A stays symmetric after each full step, the final
+    transpose is free (R^T A R is symmetric). 3 flat matmuls + one
+    in-kernel transpose per step instead of 3*block mini matmuls.
     """
-    if jax.default_backend() not in ("tpu",):
-        return jacobi_eigh(A, sweeps)
+    if interpret is None:
+        interpret = False
+        if jax.default_backend() not in ("tpu",):
+            return jacobi_eigh(A, sweeps)
 
     lead = A.shape[:-2]
     if A.ndim == 2:
-        w, V = jacobi_eigh_pallas(A[None], sweeps, block=1)
+        w, V = jacobi_eigh_pallas(A[None], sweeps, block=1,
+                                  interpret=interpret)
         return w[0], V[0]
     if A.ndim > 3:
         K0 = A.shape[-1]
-        w, V = jacobi_eigh_pallas(A.reshape(-1, K0, K0), sweeps, block)
+        w, V = jacobi_eigh_pallas(A.reshape(-1, K0, K0), sweeps, block,
+                                  interpret=interpret)
         return w.reshape(lead + w.shape[-1:]), V.reshape(lead + V.shape[-2:])
 
     from jax.experimental import pallas as pl
@@ -158,7 +180,11 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
     if B % block:
         padB = (-B) % block
         A = jnp.pad(A, ((0, padB), (0, 0), (0, 0)))
+        # keep padded matrices non-degenerate (identity) so rotations
+        # there stay numerically tame
+        A = A.at[B:].add(jnp.eye(Kp, dtype=A.dtype))
     Bp = A.shape[0]
+    BB = min(block, Bp)
     perms_np, signs_np = _round_robin_schedule(Kp)
     n_steps = perms_np.shape[0]
     perms = jnp.asarray(perms_np, A.dtype)  # (n_steps, Kp, Kp)
@@ -168,6 +194,15 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
         eye = jnp.eye(Kp, dtype=A_ref.dtype)
         A0 = A_ref[:]
         V0 = jnp.broadcast_to(eye[None], A0.shape)
+        hp = jax.lax.Precision.HIGHEST
+
+        def flat_mm(X, P):  # (BB, Kp, Kp) @ (Kp, Kp), batch dim free (no
+            # reshape: repacking the lane-padded (BB, Kp, Kp) layout into
+            # (BB*Kp, Kp) cost a relayout per call)
+            return jax.lax.dot_general(
+                X, P, (((2,), (0,)), ((), ())), precision=hp,
+                preferred_element_type=jnp.float32,
+            )
 
         def body(i, carry):
             A_cur, V = carry
@@ -176,9 +211,7 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
             sign = S_ref[idx]
             # diagonal via masked rowsum (Mosaic supports no 3-D gather)
             diag = jnp.sum(A_cur * eye[None], axis=-1)
-            a_partner = jnp.einsum(
-                "ij,bj->bi", P, diag, precision=jax.lax.Precision.HIGHEST
-            )
+            a_partner = jnp.dot(diag, P, precision=hp)  # P symmetric
             a_pq = jnp.sum(A_cur * P[None], axis=-1)
             small = jnp.abs(a_pq) < 1e-30
             tau = sign[None] * (a_partner - diag) / (
@@ -188,16 +221,17 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
             t = jnp.where(small, 0.0, t)
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s_full = sign[None] * t * c
-            R = eye[None] * c[:, None, :] + P[None] * s_full[:, :, None]
-            Rt = R.swapaxes(-1, -2)
-            mm = lambda x, y: jax.lax.dot_general(
-                x, y, (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            A_new = mm(Rt, mm(A_cur, R))
-            A_new = 0.5 * (A_new + A_new.swapaxes(-1, -2))
-            return A_new, mm(V, R)
+            s_perm = jnp.dot(s_full * P.sum(0)[None], P, precision=hp)
+            # s_perm[b, j] = s_full[b, sigma(j)] (P is a symmetric
+            # permutation; rows with no partner give 0)
+            ccol = c[:, None, :]
+            scol = s_perm[:, None, :]
+            B1 = A_cur * ccol + flat_mm(A_cur, P) * scol  # A R
+            B1t = B1.swapaxes(-1, -2)
+            M = B1t * ccol + flat_mm(B1t, P) * scol  # (R^T A R)^T == R^T A R
+            M = 0.5 * (M + M.swapaxes(-1, -2))
+            V_new = V * ccol + flat_mm(V, P) * scol  # V R
+            return M, V_new
 
         A_f, V_f = jax.lax.fori_loop(0, n_steps * sweeps, body, (A0, V0))
         w_ref[:] = jnp.sum(A_f * eye[None], axis=-1)
@@ -205,25 +239,26 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 8):
 
     w, V = pl.pallas_call(
         kernel,
-        grid=(Bp // block,),
+        grid=(Bp // BB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # P table (constant-ish)
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block, Kp, Kp), lambda i: (i, 0, 0),
+                (BB, Kp, Kp), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((block, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block, Kp, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (BB, Kp, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bp, Kp), A.dtype),
             jax.ShapeDtypeStruct((Bp, Kp, Kp), A.dtype),
         ],
+        interpret=interpret,
     )(perms, signs, A)
 
     w, V = w[:B], V[:B]

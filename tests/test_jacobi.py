@@ -49,3 +49,23 @@ def test_jacobi_psd_rank_deficient():
     w_np = np.linalg.eigvalsh(A.astype(np.float64))
     np.testing.assert_allclose(w, w_np, atol=1e-5 * np.abs(w_np).max())
     assert (w[:, :15] < 1e-4).all()  # null space found
+
+
+def test_pallas_kernel_matches_numpy_interpret():
+    """The Pallas kernel body (v2 flat-matmul formulation) vs numpy eigh,
+    in interpreter mode on the CPU backend — the TPU fallback would
+    otherwise leave the kernel untested off-device."""
+    from cross_patient_speech_decoding_tpu.ops.jacobi import (
+        jacobi_eigh_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for B, K in ((6, 8), (5, 13)):  # even + odd K, non-divisible batch
+        M = rng.normal(size=(B, K, K)).astype(np.float32)
+        A = M @ M.transpose(0, 2, 1) + np.eye(K, dtype=np.float32)
+        w, V = jacobi_eigh_pallas(jnp.asarray(A), block=4, interpret=True)
+        w, V = np.asarray(w), np.asarray(V)
+        w_np = np.stack([np.linalg.eigh(a)[0] for a in A])
+        np.testing.assert_allclose(w, w_np, rtol=2e-4, atol=2e-4)
+        recon = V @ (w[..., None] * V.transpose(0, 2, 1))
+        np.testing.assert_allclose(recon, A, atol=5e-4)
