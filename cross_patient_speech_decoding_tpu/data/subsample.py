@@ -172,3 +172,15 @@ def knn_indices(positions: np.ndarray, query: np.ndarray, k: int):
     (poisson_disk_sampling.py:202-222)."""
     d = np.linalg.norm(positions[None, :, :] - query[:, None, :], axis=-1)
     return np.argsort(d, axis=1)[:, :k]
+
+
+def min_neighbor_distance(points: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Distance from each query point to its nearest neighbor in ``points``
+    (reference ``poisson_disk_sampling.min_neighbor_distance``, :179-199 —
+    the spacing check of the dart-throwing loop). Empty ``points`` ->
+    +inf (every throw is valid)."""
+    query = np.atleast_2d(query)
+    if len(points) == 0:
+        return np.full(len(query), np.inf)
+    d = np.sqrt(((points[None, :, :] - query[:, None, :]) ** 2).sum(-1))
+    return d.min(axis=1)

@@ -50,3 +50,19 @@ def flatten_fold_preds(fold_preds) -> np.ndarray:
     """Ragged per-fold prediction lists -> flat array
     (sequence_processing.py:232-244)."""
     return np.concatenate([np.asarray(p).reshape(-1) for p in fold_preds])
+
+
+def one_hot_decode_batch(probs) -> np.ndarray:
+    """(B, L, n_classes) prediction probabilities -> (B, L) int labels
+    (reference ``sequence_processing.one_hot_decode_batch``)."""
+    return np.argmax(np.asarray(probs), axis=-1)
+
+
+def decode_seq2seq(model, variables, X_test, y_test):
+    """Predict with a trained seq2seq model and return flat (pred, true)
+    label arrays — the reference's ``decode_seq2seq`` contract
+    (`processing_utils/sequence_processing.py:49-86`), with the TF/Keras
+    inference-model pair replaced by one jitted autoregressive forward.
+    """
+    preds = seq2seq_predict_batch(model, variables, X_test)
+    return np.asarray(preds).ravel(), np.asarray(y_test).ravel()

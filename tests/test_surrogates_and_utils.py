@@ -125,3 +125,43 @@ def test_visualization_smoke(tmp_path):
     plot_latent_trajectories_2d(lats, save_path=tmp_path / "2d.png")
     plot_latent_trajectories_3d(lats, save_path=tmp_path / "3d.png")
     assert (tmp_path / "1d.png").exists()
+
+
+def test_min_neighbor_distance():
+    from cross_patient_speech_decoding_tpu.data.subsample import (
+        min_neighbor_distance,
+    )
+
+    pts = np.array([[0.0, 0.0], [3.0, 4.0]])
+    q = np.array([[0.0, 1.0], [3.0, 0.0]])
+    d = min_neighbor_distance(pts, q)
+    np.testing.assert_allclose(d, [1.0, 3.0])
+    assert np.isinf(min_neighbor_distance(np.empty((0, 2)), q)).all()
+
+
+def test_one_hot_decode_and_decode_seq2seq():
+    import jax
+
+    from cross_patient_speech_decoding_tpu.models import Seq2SeqRNN
+    from cross_patient_speech_decoding_tpu.ops.sequences import (
+        decode_seq2seq,
+        one_hot_decode_batch,
+    )
+
+    probs = np.zeros((2, 3, 4))
+    probs[0, :, 1] = 1.0
+    probs[1, :, 2] = 1.0
+    np.testing.assert_array_equal(
+        one_hot_decode_batch(probs), [[1, 1, 1], [2, 2, 2]]
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(5, 20, 6)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 4, (5, 3)), jnp.int32)
+    model = Seq2SeqRNN(n_filters=8, hidden=12, num_classes=4, kernel_size=3)
+    variables = model.init(
+        {"params": jax.random.key(0), "tf": jax.random.key(1)}, X, y, 0.5,
+    )
+    preds, true = decode_seq2seq(model, variables, X, y)
+    assert preds.shape == true.shape == (15,)
+    assert set(np.unique(preds)) <= set(range(4))
