@@ -10,10 +10,11 @@ Extra keys:
 - ``seq2seq_samples_per_sec`` — Seq2SeqRNN train-step throughput at
   reference scale (B=1000, hidden 500, conv 100, T=200;
   `train_seq2seq.py:100-147`), on the Pallas fused-GRU path on TPU;
-- ``seq2seq_mfu`` — analytic model FLOPs/s over the chip's f32 peak;
+- ``seq2seq_mfu`` — analytic model FLOPs/s over the chip's nominal
+  bf16-class MXU peak (matching ``_chip_peak``);
 - ``realtime_amortized_ms_per_bin`` — scan-amortized streaming decode
   latency (SURVEY.md §3.5 path);
-- ``realtime_p50_ms`` / ``realtime_p99_ms`` — honest per-step latency
+- ``realtime_p50_ms`` / ``realtime_max_ms`` — honest per-step latency
   distribution (python-dispatched single steps, donated state; only the
   fixed tunnel sync cost is amortized out).
 
@@ -221,7 +222,8 @@ def main():
                     rt["amortized_ms"], 4
                 ),
                 "realtime_p50_ms": round(rt["p50_ms"], 4),
-                "realtime_p99_ms": round(rt["p99_ms"], 4),
+                # 7 samples is not a p99; report the observed max honestly
+                "realtime_max_ms": round(rt["max_ms"], 4),
             }
         )
     )

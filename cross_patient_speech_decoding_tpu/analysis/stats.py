@@ -105,6 +105,18 @@ def _wilcoxon_1d(x, y=None, zero_method="wilcox", alternative="two-sided",
     has_ties = np.unique(absd).size != n
     if method == "auto":
         method = "exact" if (n <= 50 and not has_ties and n_zero == 0) else "approx"
+    elif method == "exact" and (has_ties or n_zero > 0):
+        # the exact subset-sum distribution assumes integer ranks 1..n;
+        # tied |d| produce half-integer average ranks (scipy warns and
+        # falls back here too) -> use the tie-corrected normal approx
+        import warnings
+
+        warnings.warn(
+            "exact Wilcoxon requested with ties/zeros present; "
+            "falling back to the normal approximation",
+            stacklevel=3,
+        )
+        method = "approx"
 
     if method == "exact":
         counts = _signed_rank_exact_cdf_counts(r)

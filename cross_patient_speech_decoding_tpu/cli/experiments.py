@@ -638,15 +638,21 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True):
     The reference sketched this as ``get_completed_iters`` scanning
     ``iter_{i}/result.pt`` files (tune_ctc_rnn.py:905-921, commented out);
     here the incremental results pickle *is* the manifest. A file written
-    by a DIFFERENT config is ignored and deleted (fresh start) so stale
-    results can never masquerade as this run's.
+    by a DIFFERENT config is set aside (renamed ``*.stale``, never
+    deleted — prior expensive TPU results survive even a crash right
+    after the rename) so stale results can never masquerade as this
+    run's.
     """
     p = Path(out_path)
     if not p.exists():
         return []
     store = load_pkl(p)
     if not _same_run_config(store.get("params", {}), params):
-        p.unlink()
+        stale = p.with_name(p.name + ".stale")
+        if stale.exists():
+            stale.unlink()
+        p.rename(stale)
+        print(f"config mismatch: prior results moved to {stale}", flush=True)
         return []
     accs = store.get("accs", [])
     if scalar:
@@ -963,12 +969,20 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
                 max(time.perf_counter() - t0 - sync_base, 0.0) / R * 1e3
             )
         result["p50_ms"] = float(np.percentile(samples, 50))
-        result["p99_ms"] = float(np.percentile(samples, 99))
+        # an empirical p99 needs >= 100 samples; below that report the
+        # max (labeled as such) instead of a percentile that is
+        # effectively the max anyway
+        if cfg.per_step_samples >= 100:
+            result["p99_ms"] = float(np.percentile(samples, 99))
+            tail_label, tail_ms = "p99", result["p99_ms"]
+        else:
+            result["max_ms"] = float(np.max(samples))
+            tail_label, tail_ms = "max", result["max_ms"]
         if verbose:
             print(
                 f"per-step latency over {cfg.per_step_samples} samples x "
                 f"{R} dispatched steps: p50 {result['p50_ms']:.3f} ms, "
-                f"p99 {result['p99_ms']:.3f} ms (sync baseline "
+                f"{tail_label} {tail_ms:.3f} ms (sync baseline "
                 f"{sync_base * 1e3:.0f} ms subtracted)",
                 flush=True,
             )

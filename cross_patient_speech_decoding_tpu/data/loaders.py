@@ -87,6 +87,61 @@ def load_subject_phoneme_data(data_dir: str | Path, pt: str, n_phon: int = 3,
     return subj
 
 
+# -------------------------------------------------- electrode geometry ----
+
+def load_channel_map(data_dir: str | Path, pt: str, trim: bool = True):
+    """Load ``{data_dir}/{pt}/{pt}_channelMap.mat`` (key ``chanMap``).
+
+    Returns ``(chan_map, transposed)``: the 2-D array of channel numbers
+    (NaN for missing corners) and whether the 24-long axis was axis 0.
+    The reference trims the full-NaN edge rows/cols of 24-wide maps and,
+    when the 24-long axis is axis 0, also transposes the requested window
+    size (``grid_subsampling.py:33-38``) — callers use ``transposed`` to
+    apply that window flip.
+    """
+    from scipy.io import loadmat
+
+    path = Path(data_dir) / pt / f"{pt}_channelMap.mat"
+    m = np.asarray(loadmat(str(path))["chanMap"], np.float64)
+    transposed = False
+    if trim:
+        if m.shape[0] == 24:
+            m = m[1:-1, :]
+            transposed = True
+        elif m.shape[1] == 24:
+            m = m[:, 1:-1]
+    return m, transposed
+
+
+def load_sig_channels(data_dir: str | Path, pt: str) -> np.ndarray:
+    """Load ``{data_dir}/{pt}/{pt}_sigChannel.mat`` (key ``sigChannel``).
+
+    1-D array of significant channel numbers — the channel axis of the
+    ``*_sigChannel`` feature files is these channels in this order
+    (``grid_subsampling.py:26-30`` load + ``feature_data_from_mat.py``
+    filename scheme).
+    """
+    from scipy.io import loadmat
+
+    path = Path(data_dir) / pt / f"{pt}_sigChannel.mat"
+    return np.squeeze(
+        np.asarray(loadmat(str(path))["sigChannel"])
+    ).astype(np.int64)
+
+
+def save_geometry_mat(data_dir: str | Path, pt: str, chan_map: np.ndarray,
+                      sig_channels: np.ndarray):
+    """Write the geometry fixture files in the reference layout (inverse of
+    :func:`load_channel_map`/:func:`load_sig_channels`; tests + examples)."""
+    from scipy.io import savemat
+
+    d = Path(data_dir) / pt
+    d.mkdir(parents=True, exist_ok=True)
+    savemat(str(d / f"{pt}_channelMap.mat"), {"chanMap": chan_map})
+    savemat(str(d / f"{pt}_sigChannel.mat"),
+            {"sigChannel": np.asarray(sig_channels)})
+
+
 # ------------------------------------------------------------- pickles ----
 
 def save_pkl(obj, path):

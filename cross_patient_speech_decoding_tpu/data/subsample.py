@@ -19,13 +19,16 @@ import numpy as np
 
 
 def grid_subsample_sig_channels(channel_map: np.ndarray, sig_channels,
-                                win_size: int):
-    """All win_size x win_size sub-grids containing significant channels.
+                                win_size, step=(1, 1)):
+    """All sliding sub-grids containing >=1 significant channel.
 
     Args:
-        channel_map: 2-D array of channel ids with NaN for missing corners.
+        channel_map: 2-D array of channel ids with NaN for missing corners
+            (pre-trimmed — see ``data.loaders.load_channel_map``).
         sig_channels: 1-D array of significant channel ids.
-        win_size: sub-grid edge length.
+        win_size: sub-grid size — an int (square) or (rows, cols) tuple
+            (the reference's "x-y" window string, grid_subsampling.py:8).
+        step: sliding step per axis (grid_subsampling.py step kwarg).
 
     Returns:
         list of 1-D arrays: for each kept sub-grid, the indices INTO
@@ -35,10 +38,12 @@ def grid_subsample_sig_channels(channel_map: np.ndarray, sig_channels,
     """
     sig = np.asarray(sig_channels)
     H, W = channel_map.shape
+    wh, ww = (win_size, win_size) if np.isscalar(win_size) else win_size
+    sh, sw = (step, step) if np.isscalar(step) else step
     grids = []
-    for i in range(H - win_size + 1):
-        for j in range(W - win_size + 1):
-            block = channel_map[i : i + win_size, j : j + win_size].ravel()
+    for i in range(0, H - wh + 1, sh):
+        for j in range(0, W - ww + 1, sw):
+            block = channel_map[i : i + wh, j : j + ww].ravel()
             chans = block[~np.isnan(block)].astype(np.int64)
             idx = np.where(np.isin(sig, chans))[0]
             if idx.size:
@@ -85,7 +90,7 @@ def spatial_avg_data(data: np.ndarray, groups, channel_ids=None):
 
 def poisson_disk_sample(positions: np.ndarray, radius: float,
                         rng: np.random.Generator, k: int = 30,
-                        max_restarts: int = 20):
+                        max_restarts: int = 20, n_points: int | None = None):
     """Bridson dart-throwing over a discrete electrode layout.
 
     Args:
@@ -94,9 +99,13 @@ def poisson_disk_sample(positions: np.ndarray, radius: float,
         rng: numpy Generator.
         k: candidate darts per active point.
         max_restarts: restarts before accepting the best draw so far.
+        n_points: stop once this many electrodes are placed (the
+            reference's nPoints budget, poisson_disk_sampling.py:84);
+            None = maximal packing.
 
     Returns:
-        1-D array of selected electrode indices (a maximal-ish packing).
+        1-D array of selected electrode indices (a maximal-ish packing,
+        capped at ``n_points`` when given).
     """
     n = positions.shape[0]
     best = np.array([], np.int64)
@@ -106,7 +115,7 @@ def poisson_disk_sample(positions: np.ndarray, radius: float,
         active = [int(rng.integers(n))]
         selected.append(active[0])
         taken[active[0]] = True
-        while active:
+        while active and (n_points is None or len(selected) < n_points):
             ai = active[rng.integers(len(active))]
             placed = False
             for _ in range(k):

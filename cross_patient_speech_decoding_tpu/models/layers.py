@@ -56,7 +56,11 @@ class FusedGRU(nn.Module):
         # B*T ~ 191k; at small sizes scan matches it and the multi-kernel
         # train program's cold compile — minutes through the remote
         # helper — is not worth amortizing)
-        if pallas_gru.enabled() and T >= 8 and B * T >= 65536:
+        # precision gate: the kernel's dots run at the TPU default
+        # (bf16-class) precision — a caller pinning Precision.HIGHEST
+        # must get the scan path's precision-threaded matmuls
+        if (pallas_gru.enabled() and self.precision is None
+                and T >= 8 and B * T >= 65536):
             # fully-fused layer (ops/pallas_gru.py): the input projection
             # happens inside the time sweep — no (B, T, 3H) stream — and
             # weights + h stay VMEM-resident; custom VJP

@@ -76,8 +76,10 @@ def test_realtime_sim_smoke():
         verbose=False,
     )
     assert np.isfinite(res["amortized_ms"])
-    assert np.isfinite(res["p50_ms"]) and np.isfinite(res["p99_ms"])
-    assert res["p50_ms"] <= res["p99_ms"]
+    # < 100 samples: the tail statistic is the labeled max, not a p99
+    assert np.isfinite(res["p50_ms"]) and np.isfinite(res["max_ms"])
+    assert res["p50_ms"] <= res["max_ms"]
+    assert res["p99_ms"] is None
 
 
 def test_trial_subsample_sweep():
