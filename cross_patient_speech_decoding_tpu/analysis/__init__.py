@@ -36,6 +36,7 @@ from .contexts import (
     context_comparison_table,
     rm_anova_followup,
 )
+from .latency import latency_comparison, latency_report
 
 __all__ = [
     "anova_rm",
@@ -60,4 +61,6 @@ __all__ = [
     "anova_tukey_by_group",
     "context_comparison_table",
     "rm_anova_followup",
+    "latency_comparison",
+    "latency_report",
 ]

@@ -53,35 +53,10 @@ from cross_patient_speech_decoding_tpu.utils.labels import (
 
 # ----------------------------------------------------------- data assembly ----
 
-def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
-                          lab_type: str = "phon", algn_type: str = "phon_seq",
-                          seed: int = 0, random_data: bool = False,
-                          noise: float = 0.6, trials_per_class: int = 15,
-                          n_patients: int = 4, T: int = 40):
-    """Assemble (tar, cross) PatientArrays from a pkl file or synthetic."""
-    if data == "synthetic":
-        chans = (96, 111, 80, 64, 128, 72, 56, 104)[:n_patients]
-        ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
-                                     n_classes=9,
-                                     trials_per_class=trials_per_class, T=T,
-                                     channels=chans,
-                                     latent_dim=10, noise=noise)
-        Xs = ds.X
-        ys = ds.y_first
-        aligns = ds.y_seq
-    else:
-        pt_data = load_pkl(data)
-        (X_t, y_t, ya_t), pre = decoding_data_from_dict(
-            pt_data, target_pt, p_ind, lab_type, algn_type
-        )
-        Xs = [X_t] + [x for x, _, _ in pre]
-        ys = [y_t] + [y for _, y, _ in pre]
-        aligns = [ya_t] + [ya for _, _, ya in pre]
+def _build_patient_arrays(Xs, ys, aligns):
+    """Encode labels to shared class ids and wrap device PatientArrays.
 
-    rng = np.random.default_rng(seed)
-    if random_data:  # -r control: destroy cross-patient structure
-        Xs = [Xs[0]] + [rng.random(x.shape).astype(np.float32) for x in Xs[1:]]
-
+    Returns (pts, n_classes, n_align_classes)."""
     y_enc = [encode_label_sequences(np.asarray(y)) for y in ys]
     y_uni = np.unique(np.concatenate(y_enc))
     a_enc = [encode_label_sequences(np.asarray(a)) for a in aligns]
@@ -95,7 +70,49 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
         )
         for X, ye, ae in zip(Xs, y_enc, a_enc)
     ]
-    return pts[0], tuple(pts[1:]), len(y_uni), len(a_uni)
+    return pts, len(y_uni), len(a_uni)
+
+
+def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
+                          lab_type: str = "phon", algn_type: str = "phon_seq",
+                          seed: int = 0, random_data: bool = False,
+                          noise: float = 0.6, trials_per_class: int = 15,
+                          n_patients: int = 4, T: int = 40,
+                          return_names: bool = False):
+    """Assemble (tar, cross) PatientArrays from a pkl file or synthetic.
+
+    With ``return_names`` also returns the patient-name list (target
+    first; for file data the pkl's ``pre_pts`` order — the geometry-sweep
+    drivers key channel maps and array dimensions by these names)."""
+    if data == "synthetic":
+        chans = (96, 111, 80, 64, 128, 72, 56, 104)[:n_patients]
+        ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
+                                     n_classes=9,
+                                     trials_per_class=trials_per_class, T=T,
+                                     channels=chans,
+                                     latent_dim=10, noise=noise)
+        Xs = ds.X
+        ys = ds.y_first
+        aligns = ds.y_seq
+        names = [f"synthetic{i}" for i in range(n_patients)]
+    else:
+        pt_data = load_pkl(data)
+        (X_t, y_t, ya_t), pre = decoding_data_from_dict(
+            pt_data, target_pt, p_ind, lab_type, algn_type
+        )
+        Xs = [X_t] + [x for x, _, _ in pre]
+        ys = [y_t] + [y for _, y, _ in pre]
+        aligns = [ya_t] + [ya for _, _, ya in pre]
+        names = [target_pt] + list(pt_data[target_pt]["pre_pts"])
+
+    rng = np.random.default_rng(seed)
+    if random_data:  # -r control: destroy cross-patient structure
+        Xs = [Xs[0]] + [rng.random(x.shape).astype(np.float32) for x in Xs[1:]]
+
+    pts, n_y, n_a = _build_patient_arrays(Xs, ys, aligns)
+    if return_names:
+        return pts[0], tuple(pts[1:]), n_y, n_a, names
+    return pts[0], tuple(pts[1:]), n_y, n_a
 
 
 def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 72),
@@ -162,7 +179,6 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
         n_align_classes=n_a, lam=cfg.lam, kernel=cfg.kernel,
         tar_in_train=cfg.tar_in_train, bagging=cfg.bagging, seed=cfg.seed,
     )
-    decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
     y_host = np.asarray(tar.y)
 
     Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
@@ -174,6 +190,36 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     if all_accs and verbose:
         print(f"resuming: {len(all_accs)}/{cfg.n_iter} iterations done",
               flush=True)
+
+    if cfg.nested:
+        # per-outer-fold TPE hyperparameter search (BayesSearchCV analog,
+        # aligned_decode_svm_ncv.py:398-404); the per-fold best hparams are
+        # persisted next to the accuracies
+        from cross_patient_speech_decoding_tpu.decoders.nested_cv import (
+            nested_cv_decode_bayes,
+        )
+
+        for it in range(len(all_accs), cfg.n_iter):
+            accs, hp_best = nested_cv_decode_bayes(
+                tar, cross, dcfg, n_folds=cfg.n_folds,
+                n_rounds=cfg.nested_rounds, n_points=cfg.nested_points,
+                n_inner=cfg.nested_inner, strategy=cfg.strategy,
+                seed=cfg.seed + 104729 * it,
+            )
+            all_accs.append(accs)
+            append_results_pkl(
+                cfg.out, accs, params=vars(cfg),
+                extra={k: np.asarray(v) for k, v in hp_best.items()},
+            )
+            if verbose:
+                print(
+                    f"iter {it} [nested]: balanced acc {accs.mean():.3f} "
+                    f"(chance {1.0 / n_y:.3f})",
+                    flush=True,
+                )
+        return np.stack(all_accs)
+
+    decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
     for it in range(len(all_accs), cfg.n_iter):
         tr, te = repeated_stratified_kfold_masks(
             y_host, cfg.n_folds, 1, seed=cfg.seed + it
@@ -219,7 +265,8 @@ def _seq2seq_arrays(cfg: TrainSeq2SeqConfig):
     return Xs, ys
 
 
-def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
+def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
+                      prewarm_only: bool = False):
     """Seq2seq training: aligned pooling + k-fold CV.
 
     One iteration x fold slice of the reference's 50x20 design (scaled by
@@ -309,6 +356,10 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
             append_results_pkl(progress_path, np.asarray(accs),
                                params=vars(cfg))
 
+    run_name = (
+        f"{cfg.target_pt}_{'aligned' if cfg.pooled else 'ptSpecific'}_seq2seq"
+    )
+    start_it = len(done_iters)
     if cfg.fold_parallel:
         # all folds of an iteration train as ONE vmapped program
         from cross_patient_speech_decoding_tpu.train.fold_parallel import (
@@ -333,10 +384,38 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
                 decay_iters=cfg.decay_iters, clip=cfg.clip,
                 seed=cfg.seed + it,
             )
-            accs, _ = trainer(cfg.epochs)
+            if prewarm_only:
+                # AOT-compile the full fold-parallel program (epochs is a
+                # scan length, i.e. BAKED into the program) into the
+                # persistent cache without executing 500 epochs
+                t0 = time.perf_counter()
+                trainer.lower(cfg.epochs).compile()
+                if verbose:
+                    print(
+                        f"seq2seq fold-parallel program compiled in "
+                        f"{time.perf_counter() - t0:.1f}s "
+                        f"({cfg.n_folds} folds x {cfg.epochs} epochs)",
+                        flush=True,
+                    )
+                return np.asarray([])
+            with _maybe_trace(cfg.trace and it == start_it, cfg.out, run_name):
+                accs, _ = trainer(cfg.epochs)
             accs = np.asarray(accs)
             results.extend(accs.tolist())
             _record_iter(accs)
+            if cfg.log_metrics and cfg.out:
+                # the fold-vmapped program yields no per-epoch stream;
+                # log one row of per-fold final accuracies per iteration
+                from cross_patient_speech_decoding_tpu.train.loops import (
+                    _append_csv,
+                )
+
+                _append_csv(
+                    str(Path(cfg.out).parent / "logs" / run_name
+                        / "fold_accs.csv"),
+                    {"iter": it,
+                     **{f"fold{j}": float(a) for j, a in enumerate(accs)}},
+                )
             if verbose:
                 print(
                     f"iter {it}: {cfg.n_folds} folds in one program, "
@@ -372,13 +451,20 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
                 X_train[:1], y_train[:1], 0.5,
             )
             state = create_train_state(model, variables, tx)
-            res = fit_loop(
-                state, train_step, eval_step,
-                (X_train, y_train), (X_test, y_test),
-                epochs=cfg.epochs, key=jax.random.key(cfg.seed + 100 + k),
-                monitor="acc", mode="max", batch_size=cfg.batch_size,
-                eval_every=max(1, cfg.epochs // 20),
-            )
+            with _maybe_trace(
+                cfg.trace and it == start_it and k == 0, cfg.out, run_name
+            ):
+                res = fit_loop(
+                    state, train_step, eval_step,
+                    (X_train, y_train), (X_test, y_test),
+                    epochs=cfg.epochs, key=jax.random.key(cfg.seed + 100 + k),
+                    monitor="acc", mode="max", batch_size=cfg.batch_size,
+                    eval_every=max(1, cfg.epochs // 20),
+                    log_path=(
+                        _run_log_path(cfg.out, run_name, it, k)
+                        if cfg.log_metrics else None
+                    ),
+                )
             results.append(res.best_metric)
             iter_accs.append(res.best_metric)
             if verbose:
@@ -390,6 +476,202 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
         Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
         np.savetxt(cfg.out, out, delimiter=",")
     return out
+
+
+# ------------------------------------------------------------ observability ----
+
+def _run_log_path(out: str, run_name: str, it: int, fold: int | None = None):
+    """Per-epoch metrics CSV path next to the results file.
+
+    Mirrors the reference's context-encoded TensorBoard run naming
+    ``{pt}_{ptSpecific|aligned|unaligned|chance}_ctcRnn``
+    (train_ctc_rnn.py:235-261): logs land under ``logs/{run_name}/`` beside
+    the results pickle, one CSV per iteration (and fold where applicable).
+    """
+    if not out:
+        return None
+    d = Path(out).parent / "logs" / run_name
+    name = f"iter{it:03d}" + (
+        "" if fold is None else f"_fold{fold:02d}"
+    ) + ".csv"
+    return str(d / name)
+
+
+def _maybe_trace(enabled: bool, out: str, run_name: str):
+    """Device-profile context for the first executed iteration
+    (``--trace`` flag -> utils.profiling.trace; perfetto/TensorBoard dir
+    under ``trace/{run_name}`` beside the results file)."""
+    import contextlib
+
+    if not enabled:
+        return contextlib.nullcontext()
+    from cross_patient_speech_decoding_tpu.utils.profiling import trace
+
+    d = Path(out or "results").parent / "trace" / run_name
+    d.mkdir(parents=True, exist_ok=True)
+    return trace(str(d))
+
+
+# ----------------------------------------------------------------- train nn ----
+
+def _make_nn_classifier(cfg, n_classes: int):
+    """Model zoo switch for the NN decode driver (the classifier the
+    reference's aligned_decode_nn.py comments out and then references —
+    here actually constructed; surfaces `nn_models/models.py:111-205,
+    393-596`)."""
+    from cross_patient_speech_decoding_tpu.models import (
+        CNNTransformer,
+        TCNClassifier,
+        TemporalConvRNN,
+        TransformerClassifier,
+    )
+
+    if cfg.model == "tcn":
+        return TCNClassifier(
+            n_filters=cfg.n_filters, num_classes=n_classes,
+            kernel_size=cfg.kernel_size, dropout=cfg.dropout,
+        )
+    if cfg.model == "transformer":
+        return TransformerClassifier(
+            d_model=cfg.d_model, num_classes=n_classes, n_heads=cfg.n_heads,
+            n_layers=cfg.n_layers, dim_ff=cfg.dim_ff, dropout=cfg.dropout,
+        )
+    if cfg.model == "cnn_transformer":
+        return CNNTransformer(
+            n_filters=cfg.n_filters, num_classes=n_classes,
+            kernel_size=cfg.kernel_size, n_heads=cfg.n_heads,
+            n_layers=cfg.n_layers, dim_ff=cfg.dim_ff,
+            cnn_dropout=cfg.dropout,
+        )
+    if cfg.model == "conv_rnn":
+        return TemporalConvRNN(
+            n_filters=cfg.n_filters, hidden=cfg.hidden,
+            num_classes=n_classes, kernel_size=cfg.kernel_size,
+            n_layers=cfg.n_layers, cnn_dropout=cfg.dropout,
+            rnn_dropout=cfg.dropout,
+        )
+    raise ValueError(
+        f"unknown model {cfg.model!r}; choose tcn | transformer | "
+        "cnn_transformer | conv_rnn"
+    )
+
+
+def run_train_nn(cfg, verbose: bool = True):
+    """NN-classifier cross-patient decode — the working analog of the
+    reference's defective ``scripts/aligned_decode_nn.py`` (clf never
+    constructed, :262-265): per-patient PCA latents, CCA alignment of each
+    source into the target space, pooled training of a TCN / Transformer /
+    CNNTransformer / TemporalConvRNN classifier, k-fold CV on the target,
+    confusion-matrix accuracy per fold. Incremental persistence + resume
+    like the other drivers.
+    """
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+    )
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_classifier_eval_step,
+        make_classifier_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import (
+        fit as fit_loop,
+        make_optimizer,
+    )
+
+    tar, cross, n_y, n_a = _patients_from_config(
+        cfg.data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type,
+        cfg.seed,
+    )
+    if not cfg.pooled:
+        cross = ()
+
+    # per-patient PCA latents + CCA alignment into the target space (the
+    # process_aligner flow, nn_models datamodules.py:515-573; fit once per
+    # run like the seq2seq driver — per-fold refits cost 20x for latents
+    # that change negligibly)
+    T = tar.X.shape[1]
+    lat_t = _transform_latents(
+        _fit_pca_latents(tar.X, cfg.n_comp, cfg.max_k), tar.X, cfg.max_k
+    )
+    feats = [lat_t.reshape(lat_t.shape[0], T, -1)]
+    labels = [tar.y]
+    for c in cross:
+        lat = _transform_latents(
+            _fit_pca_latents(c.X, cfg.n_comp, cfg.max_k), c.X, cfg.max_k
+        )
+        al = fit_cca_aligner(lat_t, lat, tar.y_align, c.y_align, n_a)
+        lat = transform_b_to_a(al, lat)
+        feats.append(lat.reshape(lat.shape[0], T, -1))
+        labels.append(c.y)
+
+    model = _make_nn_classifier(cfg, n_y)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
+                        end_factor=0.01, clip=cfg.clip)
+    train_step = make_classifier_train_step(model, tx)
+    eval_step = make_classifier_eval_step(model)
+    y_host = np.asarray(tar.y)
+
+    if cfg.out:
+        Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+    all_accs = _completed_results(cfg.out, vars(cfg), scalar=False)[: cfg.n_iter]
+    if all_accs and verbose:
+        print(f"resuming: {len(all_accs)}/{cfg.n_iter} iterations done",
+              flush=True)
+
+    run_name = f"{cfg.target_pt}_{cfg.model}_nnDecode"
+    start_it = len(all_accs)
+    for it in range(len(all_accs), cfg.n_iter):
+        rng = np.random.default_rng(cfg.seed + 7919 * it)
+        tr_m, te_m = stratified_kfold_masks(y_host, cfg.n_folds, rng)
+        fold_accs = []
+        for k in range(cfg.n_folds):
+            tr_i = jnp.asarray(np.where(tr_m[k] > 0)[0])
+            te_i = jnp.asarray(np.where(te_m[k] > 0)[0])
+            X_train = jnp.concatenate([feats[0][tr_i]] + feats[1:])
+            y_train = jnp.concatenate([labels[0][tr_i]] + labels[1:])
+            test_batch = (feats[0][te_i], labels[0][te_i])
+
+            variables = model.init(
+                jax.random.key(cfg.seed + 31 * it + k), X_train[:1]
+            )
+            state = create_train_state(model, variables, tx)
+            with _maybe_trace(
+                cfg.trace and it == start_it and k == 0, cfg.out, run_name
+            ):
+                res = fit_loop(
+                    state, train_step, eval_step,
+                    (X_train, y_train), test_batch,
+                    epochs=cfg.epochs,
+                    key=jax.random.key(cfg.seed + 1000 + 31 * it + k),
+                    monitor="acc", mode="max", batch_size=cfg.batch_size,
+                    eval_every=cfg.epochs,  # final-epoch eval only: the
+                    # test split must not select the checkpoint
+                    log_path=(
+                        _run_log_path(cfg.out, run_name, it, k)
+                        if cfg.log_metrics else None
+                    ),
+                )
+            acc = float(res.history[-1]["acc"])
+            fold_accs.append(acc)
+        fold_accs = np.asarray(fold_accs)
+        all_accs.append(fold_accs)
+        if cfg.out:
+            append_results_pkl(cfg.out, fold_accs, params=vars(cfg))
+        if verbose:
+            print(
+                f"iter {it} [{cfg.model}]: mean test acc "
+                f"{fold_accs.mean():.3f} (chance {1.0 / n_y:.3f})",
+                flush=True,
+            )
+    return np.stack(all_accs)
 
 
 # --------------------------------------------------------------- train ctc ----
@@ -687,6 +969,8 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
               flush=True)
     if cfg.out:
         Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+    run_name = f"{cfg.target_pt}_{_CONTEXT_NAMES[cfg.context]}_ctcRnn"
+    start_it = len(pers)
 
     # ingestion is rng-dependent only for chance-label shuffling and
     # target subsampling; otherwise hoist it out of the iteration loop —
@@ -746,18 +1030,23 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                             clip=cfg.clip)
         variables = model.init(jax.random.key(cfg.seed + it), train_batch[0][:1])
         state = create_train_state(model, variables, tx)
-        res = fit_loop(
-            state,
-            make_ctc_train_step(model, tx),
-            make_ctc_eval_step(model),
-            train_batch,
-            batch(va_i),
-            epochs=cfg.epochs,
-            key=jax.random.key(cfg.seed + 1000 + it),
-            monitor="per",
-            mode="min",
-            eval_every=max(1, cfg.epochs // 30),
-        )
+        with _maybe_trace(cfg.trace and it == start_it, cfg.out, run_name):
+            res = fit_loop(
+                state,
+                make_ctc_train_step(model, tx),
+                make_ctc_eval_step(model),
+                train_batch,
+                batch(va_i),
+                epochs=cfg.epochs,
+                key=jax.random.key(cfg.seed + 1000 + it),
+                monitor="per",
+                mode="min",
+                eval_every=max(1, cfg.epochs // 30),
+                log_path=(
+                    _run_log_path(cfg.out, run_name, it)
+                    if cfg.log_metrics else None
+                ),
+            )
         test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, test_batch)
         per = float(test_metrics["per"])
         if cfg.decode == "beam":
@@ -797,6 +1086,56 @@ def _beam_rescore_per(model, state, batch, cfg):
         np.asarray(labels, np.int32), np.asarray(label_lens, np.int32),
     )
     return float(dists.sum() / max(1, int(np.asarray(label_lens).sum())) * 100.0)
+
+
+# ----------------------------------------------------------------- prewarm ----
+
+def run_prewarm_ctc(cfg: TrainCTCConfig, verbose: bool = True):
+    """Populate the persistent compile cache with the production-shape CTC
+    training programs ahead of a real run.
+
+    The full multi-kernel train program cold-compiles in 10-25 min through
+    the tunnel's remote helper (docs/ROUND2.md compile-latency policy);
+    running ONE epoch of ONE iteration compiles bit-identical programs
+    (epoch count is a host loop, not baked) so the real `cpsd train-ctc`
+    at the same config starts training from cache in seconds. Use the SAME
+    yaml/overrides as the production run.
+    """
+    import dataclasses
+
+    t0 = time.perf_counter()
+    warm_cfg = dataclasses.replace(
+        cfg, n_iter=1, epochs=1, out="", log_metrics=False, trace=False
+    )
+    run_train_ctc(warm_cfg, verbose=False)
+    if verbose:
+        print(
+            f"ctc train/eval programs compiled + cached in "
+            f"{time.perf_counter() - t0:.1f}s (context={cfg.context})",
+            flush=True,
+        )
+    return np.asarray([])
+
+
+def run_prewarm_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
+    """AOT-compile the seq2seq fold-parallel program into the persistent
+    cache (epochs is a lax.scan length — BAKED into the program — so the
+    prewarm must lower at the production epoch count; jit.lower().compile()
+    populates the cache without executing)."""
+    import dataclasses
+
+    warm_cfg = dataclasses.replace(
+        cfg, out="", log_metrics=False, trace=False
+    )
+    if not cfg.fold_parallel:
+        warm_cfg = dataclasses.replace(warm_cfg, n_iter=1, epochs=1)
+        t0 = time.perf_counter()
+        run_train_seq2seq(warm_cfg, verbose=False)
+        if verbose:
+            print(f"seq2seq programs compiled + cached in "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+        return np.asarray([])
+    return run_train_seq2seq(warm_cfg, verbose=verbose, prewarm_only=True)
 
 
 # ---------------------------------------------------------------- tune ctc ----
@@ -978,6 +1317,7 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
         else:
             result["max_ms"] = float(np.max(samples))
             tail_label, tail_ms = "max", result["max_ms"]
+        result["samples_ms"] = np.asarray(samples)
         if verbose:
             print(
                 f"per-step latency over {cfg.per_step_samples} samples x "
@@ -986,6 +1326,12 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
                 f"{sync_base * 1e3:.0f} ms subtracted)",
                 flush=True,
             )
+    if cfg.out:
+        # persist the distribution for the supp_fig_20/24 latency analyses
+        from cross_patient_speech_decoding_tpu.data.loaders import save_pkl
+
+        Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
+        save_pkl({"params": vars(cfg), **result}, cfg.out)
     return result
 
 

@@ -25,6 +25,7 @@ from cross_patient_speech_decoding_tpu.utils.config import (
     RealtimeSimConfig,
     SVMDecodeConfig,
     TrainCTCConfig,
+    TrainNNConfig,
     TrainSeq2SeqConfig,
     TuneCTCConfig,
     load_config,
@@ -33,7 +34,12 @@ from cross_patient_speech_decoding_tpu.utils.config import (
 _COMMANDS = {
     "svm-decode": (SVMDecodeConfig, "run_svm_decode"),
     "train-seq2seq": (TrainSeq2SeqConfig, "run_train_seq2seq"),
+    "train-nn": (TrainNNConfig, "run_train_nn"),
     "train-ctc": (TrainCTCConfig, "run_train_ctc"),
+    # compile-cache prewarm: same configs as the train commands; see
+    # docs/ROUND2.md compile-latency policy
+    "prewarm-ctc": (TrainCTCConfig, "run_prewarm_ctc"),
+    "prewarm-seq2seq": (TrainSeq2SeqConfig, "run_prewarm_seq2seq"),
     "tune-ctc": (TuneCTCConfig, "run_tune_ctc"),
     "realtime-sim": (RealtimeSimConfig, "run_realtime_sim"),
     "analyze": (AnalyzeConfig, "run_analyze"),

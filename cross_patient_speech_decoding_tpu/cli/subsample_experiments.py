@@ -6,11 +6,21 @@ Analogs of the reference sweep scripts (SURVEY.md §2.7):
   accuracy vs number of cross-patient trials (k = 5, 30, 55, ... up to the
   cross-patient median, :290-292);
 - :func:`run_grid_subsample`   <-> aligned_decode_grid_subsample.py:
-  electrode-density sweep over sliding sub-grids (:281-301);
+  electrode-density sweep iterating ALL of the target's sliding sub-grids
+  with a random cross-patient sub-grid each (:281-301);
 - :func:`run_spatial_avg`      <-> aligned_decode_spatialAvg_subsample.py:
-  contact-size sweep via channel-tile averaging;
+  contact-size sweep over the pre-averaged ``cs_{n}x{n}`` channels of a
+  ``pt_savg_data*.pkl`` (:200-210);
 - :func:`run_pitch_subsample`  <-> aligned_decode_pitch_subsample.py:
-  electrode-pitch sweep via per-iteration Poisson-disk resampling.
+  electrode-pitch sweep via per-iteration Poisson-disk resampling at
+  mm-scale pitch on the physical array dimensions
+  (poisson_disk_sampling.py:38-45).
+
+Geometry: when ``geometry_dir`` is set the sweeps load each patient's real
+2-D channel map (``{pt}_channelMap.mat``) and significant-channel list
+(``{pt}_sigChannel.mat``) exactly as the reference does
+(aligned_decode_grid_subsample.py:26-30); otherwise they fall back to a
+fabricated square map with every channel significant (synthetic data only).
 
 Index generation is host-side numpy (tiny integer work, inherently
 sequential for Poisson darts); everything numeric runs through the vmapped
@@ -20,18 +30,29 @@ fold decoder. Iterations of equal shape share one compiled program.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
 
 from cross_patient_speech_decoding_tpu.cli.experiments import (
+    _build_patient_arrays,
     _patients_from_config,
+)
+from cross_patient_speech_decoding_tpu.data.loaders import (
+    decoding_data_from_dict,
+    load_channel_map,
+    load_pkl,
+    load_sig_channels,
+    save_pkl,
 )
 from cross_patient_speech_decoding_tpu.data.splits import (
     stratified_kfold_masks,
 )
 from cross_patient_speech_decoding_tpu.data.subsample import (
+    array_geometry,
     grid_subsample_sig_channels,
+    pitch_subsample_channels_mm,
     pitch_subsample_sig_channels,
     spatial_avg_data,
     spatial_avg_groups,
@@ -49,37 +70,43 @@ class SubsampleConfig:
     data: str = "synthetic"
     target_pt: str = "S14"
     strategy: str = "sep_align"
-    n_iter: int = 10
+    n_iter: int = 10  # <=0: all target sub-grids (grid sweep, the
+    # reference default aligned_decode_grid_subsample.py:281)
     n_folds: int = 5
     n_comp: float = 0.8
     max_k: int = 24
     lam: float = 1.0
     seed: int = 0
+    # real electrode geometry: dir holding {pt}/{pt}_channelMap.mat +
+    # {pt}_sigChannel.mat ('' = fabricate a square map, synthetic only)
+    geometry_dir: str = ""
     # trial sweep
     k_start: int = 5
     k_step: int = 25
-    # grid sweep
+    # grid sweep: ints (square) or 'AxB' strings (the reference's "x-y")
     win_sizes: tuple = (2, 4, 6)
     # spatial averaging
     contact_sizes: tuple = (2, 4)
-    # pitch sweep (in electrode-grid units)
+    # pitch sweep — mm when geometry_dir is set (reference pitches are
+    # mm-scale), electrode-grid units for the synthetic fallback
     pitches: tuple = (1.5, 2.5, 4.0)
     # synthetic-data difficulty (ignored for file-backed data): sweeps are
     # only informative when the base problem is not saturated
     noise: float = 0.6
     trials_per_class: int = 15
+    out: str = ""  # optional results pickle
 
 
 def _setup(cfg: SubsampleConfig):
-    tar, cross, n_y, n_a = _patients_from_config(
+    tar, cross, n_y, n_a, names = _patients_from_config(
         cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
-        trials_per_class=cfg.trials_per_class,
+        trials_per_class=cfg.trials_per_class, return_names=True,
     )
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam,
     )
-    return tar, cross, dcfg
+    return tar, cross, dcfg, names
 
 
 def _decode(tar, cross, dcfg, strategy, n_folds, rng):
@@ -89,9 +116,17 @@ def _decode(tar, cross, dcfg, strategy, n_folds, rng):
     return float(np.asarray(accs).mean())
 
 
+def _save_results(cfg: SubsampleConfig, sweep: str, results):
+    if cfg.out:
+        path = Path(cfg.out)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        save_pkl({"params": vars(cfg), "sweep": sweep, "results": results},
+                 path)
+
+
 def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
     """Accuracy vs cross-patient trial count -> (n_k, n_iter) matrix."""
-    tar, cross, dcfg = _setup(cfg)
+    tar, cross, dcfg, _ = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
     median_n = int(np.median([c.X.shape[0] for c in cross]))
     ks = list(range(cfg.k_start, median_n + 1, cfg.k_step))
@@ -114,16 +149,46 @@ def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
             )
         if verbose:
             print(f"k={k}: acc {results[ki].mean():.3f}", flush=True)
+    _save_results(cfg, "trials", {"ks": np.asarray(ks), "accs": results})
     return np.asarray(ks), results
 
 
+# ------------------------------------------------------ geometry loading ----
+
 def _square_map(n_channels: int):
-    """Approximate 2-D layout for channels (synthetic geometry)."""
+    """Fallback 2-D layout: square map, channel numbers 1..n, all
+    significant (synthetic geometry only)."""
     w = int(np.ceil(np.sqrt(n_channels)))
     h = int(np.ceil(n_channels / w))
     m = np.full((h, w), np.nan)
-    m.ravel()[:n_channels] = np.arange(n_channels)
+    m.ravel()[:n_channels] = np.arange(1, n_channels + 1)
     return m
+
+
+def _patient_geometry(cfg: SubsampleConfig, names, pts):
+    """Per-patient (chan_map, sig_channels, transposed) triples.
+
+    Real geometry from ``geometry_dir`` (reference .mat contract); the
+    fabricated fallback marks every data channel significant. Validates
+    that each significant-channel list matches the data channel count —
+    the data channel axis IS the sig-channel list, in order.
+    """
+    out = []
+    for name, p in zip(names, pts):
+        n_ch = int(p.X.shape[-1])
+        if cfg.geometry_dir:
+            cmap, transposed = load_channel_map(cfg.geometry_dir, name)
+            sig = load_sig_channels(cfg.geometry_dir, name)
+            if len(sig) != n_ch:
+                raise ValueError(
+                    f"{name}: sigChannel has {len(sig)} channels but the "
+                    f"data has {n_ch} — geometry does not match data"
+                )
+        else:
+            cmap, transposed = _square_map(n_ch), False
+            sig = np.arange(1, n_ch + 1)
+        out.append((cmap, sig, transposed))
+    return out
 
 
 def _gather_channels(pt: PatientArrays, ch_idx: np.ndarray) -> PatientArrays:
@@ -132,25 +197,57 @@ def _gather_channels(pt: PatientArrays, ch_idx: np.ndarray) -> PatientArrays:
     )
 
 
+def _parse_win(win):
+    """Window spec -> (rows, cols): int, (h, w) tuple, or 'AxB'/'A-B' str
+    (the reference passes win_size as a "x-y" string)."""
+    if isinstance(win, str):
+        for sep in ("x", "-"):
+            if sep in win:
+                a, b = win.split(sep)
+                return (int(a), int(b))
+        return (int(win), int(win))
+    if np.isscalar(win):
+        return (int(win), int(win))
+    return (int(win[0]), int(win[1]))
+
+
 def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
-    """Accuracy vs sub-grid size: target iterates its sub-grids, each cross
-    patient contributes a random sub-grid per iteration (:281-301)."""
-    tar, cross, dcfg = _setup(cfg)
+    """Accuracy vs sub-grid size.
+
+    The target iterates ALL of its sub-grid positions (the reference's
+    iteration loop, aligned_decode_grid_subsample.py:281-301; capped at
+    ``n_iter`` when positive) while each cross patient contributes one
+    random sub-grid per iteration. With ``geometry_dir`` the sub-grids
+    slide over each patient's real NaN-edged channel map; 24-wide maps are
+    edge-trimmed and the window transposed as the reference does
+    (grid_subsampling.py:33-38).
+    """
+    tar, cross, dcfg, names = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
+    geom = _patient_geometry(cfg, names, (tar, *cross))
     results = {}
     for win in cfg.win_sizes:
-        accs = []
-        maps = [_square_map(int(p.X.shape[-1])) for p in (tar, *cross)]
-        grids = [
-            grid_subsample_sig_channels(
-                m, np.arange(int(p.X.shape[-1])), win
+        wh, ww = _parse_win(win)
+        grids = []
+        for cmap, sig, transposed in geom:
+            w = (ww, wh) if transposed else (wh, ww)
+            grids.append(grid_subsample_sig_channels(cmap, sig, w))
+        if not grids[0]:
+            if verbose:
+                print(f"win={win}: no target sub-grid contains a "
+                      "significant channel; skipped", flush=True)
+            continue
+        if any(not g for g in grids[1:]):
+            raise ValueError(
+                f"win={win}: a cross patient has no sub-grid with "
+                "significant channels"
             )
-            for m, p in zip(maps, (tar, *cross))
-        ]
-        n_iter = min(cfg.n_iter, len(grids[0]))
-        for it in range(n_iter):
-            tar_g = grids[0][it % len(grids[0])]
-            sub_tar = _gather_channels(tar, tar_g)
+        n_run = len(grids[0]) if cfg.n_iter <= 0 else min(
+            cfg.n_iter, len(grids[0])
+        )
+        accs = []
+        for it in range(n_run):
+            sub_tar = _gather_channels(tar, grids[0][it])
             sub_cross = [
                 _gather_channels(c, g[rng.integers(len(g))])
                 for c, g in zip(cross, grids[1:])
@@ -160,21 +257,81 @@ def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
             )
         results[win] = np.asarray(accs)
         if verbose:
-            print(f"win={win}: acc {results[win].mean():.3f}", flush=True)
+            print(
+                f"win={win}: acc {results[win].mean():.3f} over "
+                f"{n_run}/{len(grids[0])} target sub-grids",
+                flush=True,
+            )
+    _save_results(cfg, "grid", results)
     return results
 
 
+def _savg_patients(cfg: SubsampleConfig, contact_size: int):
+    """Patient arrays from a ``pt_savg_data*.pkl`` at one contact size.
+
+    The reference's spatialAvg driver reads the same nested decoding dict
+    but with each X entry a dict of pre-averaged channel sets keyed
+    ``cs_{n}x{n}`` (aligned_decode_spatialAvg_subsample.py:189-210).
+    """
+    cs_key = f"cs_{contact_size}x{contact_size}"
+    data = load_pkl(cfg.data)
+    (X_t, y_t, ya_t), pre = decoding_data_from_dict(data, cfg.target_pt, -1)
+
+    def pick(X):
+        if not isinstance(X, dict):
+            raise TypeError(
+                "spatial-avg file sweep needs a pt_savg_data pkl whose X "
+                f"entries are dicts keyed cs_NxN; got {type(X).__name__}"
+            )
+        if cs_key not in X:
+            raise KeyError(
+                f"{cs_key} not present; available: {sorted(X)}"
+            )
+        return np.asarray(X[cs_key], np.float32)
+
+    Xs = [pick(X_t)] + [pick(X) for X, _, _ in pre]
+    ys = [y_t] + [y for _, y, _ in pre]
+    aligns = [ya_t] + [ya for _, _, ya in pre]
+    pts, n_y, n_a = _build_patient_arrays(Xs, ys, aligns)
+    dcfg = DecodeConfig(
+        n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
+        n_align_classes=n_a, lam=cfg.lam,
+    )
+    return pts[0], pts[1:], dcfg
+
+
 def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
-    """Accuracy vs simulated contact size (channel-tile averaging)."""
-    tar, cross, dcfg = _setup(cfg)
-    rng = np.random.default_rng(cfg.seed)
+    """Accuracy vs simulated contact size.
+
+    File-backed runs consume the pre-averaged ``cs_{n}x{n}`` channel sets
+    of a ``pt_savg_data*.pkl`` (the reference's data path); the synthetic
+    fallback averages channel tiles of the fabricated square map on the
+    fly (``spatial_avg_subsampling.py`` tiling).
+    """
     results = {}
+    if cfg.data != "synthetic":
+        rng = np.random.default_rng(cfg.seed)
+        for cs in cfg.contact_sizes:
+            tar, crs, dcfg = _savg_patients(cfg, int(cs))
+            accs = [
+                _decode(tar, crs, dcfg, cfg.strategy, cfg.n_folds, rng)
+                for _ in range(cfg.n_iter)
+            ]
+            results[cs] = np.asarray(accs)
+            if verbose:
+                print(f"contact={cs}x{cs}: acc {results[cs].mean():.3f}",
+                      flush=True)
+        _save_results(cfg, "spatial_avg", results)
+        return results
+
+    tar, cross, dcfg, names = _setup(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    geom = _patient_geometry(cfg, names, (tar, *cross))
     for cs in cfg.contact_sizes:
         pts_avg = []
-        for p in (tar, *cross):
-            cmap = _square_map(int(p.X.shape[-1]))
-            groups = spatial_avg_groups(cmap, cs)
-            Xa = spatial_avg_data(np.asarray(p.X), groups)
+        for p, (cmap, sig, _) in zip((tar, *cross), geom):
+            groups = spatial_avg_groups(cmap, int(cs))
+            Xa = spatial_avg_data(np.asarray(p.X), groups, channel_ids=sig)
             pts_avg.append(
                 PatientArrays(X=jnp.asarray(Xa), y=p.y, y_align=p.y_align)
             )
@@ -185,26 +342,46 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
         results[cs] = np.asarray(accs)
         if verbose:
             print(f"contact={cs}x{cs}: acc {results[cs].mean():.3f}", flush=True)
+    _save_results(cfg, "spatial_avg", results)
     return results
 
 
 def run_pitch_subsample(cfg: SubsampleConfig, verbose: bool = True):
-    """Accuracy vs electrode pitch (Poisson-disk resampled every iter)."""
-    tar, cross, dcfg = _setup(cfg)
+    """Accuracy vs electrode pitch (Poisson-disk resampled every iter).
+
+    With real geometry the pitch is physical millimeters: the electrode
+    budget comes from each patient's array area (128-contact 11.3x22.5 mm
+    / 256-contact 37.8x20.6 mm, poisson_disk_sampling.py:38-45) and
+    sampling runs on the patient's channel map. The synthetic fallback
+    treats pitch in unit-grid spacing on the fabricated map.
+    """
+    tar, cross, dcfg, names = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
+    geom = _patient_geometry(cfg, names, (tar, *cross))
     results = {}
     for pitch in cfg.pitches:
         accs = []
         for _ in range(cfg.n_iter):
             pts_sub = []
-            for p in (tar, *cross):
-                n_ch = int(p.X.shape[-1])
-                cmap = _square_map(n_ch)
-                ys, xs = np.nonzero(~np.isnan(cmap))
-                pos = np.stack([xs, ys], 1).astype(float)
-                _, idx = pitch_subsample_sig_channels(
-                    pos, np.arange(n_ch), pitch, rng
-                )
+            for name, p, (cmap, sig, _) in zip(names, (tar, *cross), geom):
+                if cfg.geometry_dir:
+                    mm_x, mm_y, max_elec = array_geometry(name)
+                    idx = pitch_subsample_channels_mm(
+                        cmap, sig, float(pitch), mm_x, mm_y, max_elec, rng
+                    )
+                else:
+                    # fallback positions are in channel order, so position
+                    # indices ARE data channel indices
+                    ys_, xs_ = np.nonzero(~np.isnan(cmap))
+                    pos = np.stack([xs_, ys_], 1).astype(float)
+                    _, idx = pitch_subsample_sig_channels(
+                        pos, np.arange(len(sig)), float(pitch), rng
+                    )
+                if not len(idx):
+                    raise ValueError(
+                        f"{name}: pitch {pitch} sampled no significant "
+                        "channels after retries"
+                    )
                 pts_sub.append(_gather_channels(p, idx))
             accs.append(
                 _decode(pts_sub[0], pts_sub[1:], dcfg, cfg.strategy,
@@ -213,4 +390,5 @@ def run_pitch_subsample(cfg: SubsampleConfig, verbose: bool = True):
         results[pitch] = np.asarray(accs)
         if verbose:
             print(f"pitch={pitch}: acc {results[pitch].mean():.3f}", flush=True)
+    _save_results(cfg, "pitch", results)
     return results

@@ -160,6 +160,82 @@ def pitch_subsample_sig_channels(positions: np.ndarray, sig_channels,
     return sel, idx
 
 
+# physical uECoG array dimensions per patient group: (mm_x, mm_y, max_elec)
+# — 128-contact 11.3 x 22.5 mm and 256-contact 37.8 x 20.6 mm arrays
+# (reference poisson_disk_sampling.py:38-45; SURVEY.md data facts)
+ARRAY_GEOMETRY_MM = {
+    **{pt: (11.3, 22.5, 128) for pt in ("S14", "S22", "S23", "S26")},
+    **{pt: (37.8, 20.6, 256) for pt in ("S33", "S39", "S58", "S62")},
+}
+
+
+def array_geometry(pt: str):
+    """(mm_x, mm_y, max_elec) for a patient's physical electrode array."""
+    try:
+        return ARRAY_GEOMETRY_MM[pt]
+    except KeyError:
+        raise KeyError(
+            f"no physical array geometry known for patient {pt!r}; "
+            f"known: {sorted(ARRAY_GEOMETRY_MM)}"
+        ) from None
+
+
+def pitch_to_n_electrodes(pitch_mm: float, mm_x: float, mm_y: float) -> int:
+    """Electrode budget preserving a physical pitch across array sizes
+    (poisson_disk_sampling.py:46): n = round(area / pitch^2)."""
+    return int(round(mm_x * mm_y / pitch_mm**2))
+
+
+def pitch_subsample_channels_mm(chan_map: np.ndarray, sig_channels,
+                                pitch_mm: float, mm_x: float, mm_y: float,
+                                max_elec: int, rng: np.random.Generator,
+                                max_retries: int = 10):
+    """Physical-pitch electrode subsample on a real channel map.
+
+    The reference flow (poisson_disk_sampling.py:9-82): convert the mm
+    pitch to an electrode budget via the array area; if the budget covers
+    the whole array, keep every channel; otherwise Poisson-disk sample
+    grid positions at spacing ``floor(sqrt(H*W/n))`` (grid units, :52-56),
+    map them through the channel map (NaN positions are discarded), top up
+    uniformly from unsampled channels when spacing is 1 and the draw ran
+    short (:66-74), then intersect with the significant-channel list;
+    resample when no significant channel was drawn (:79-80 — retried at
+    the SAME pitch; the reference's recursion accidentally passes nElec).
+
+    Returns indices INTO ``sig_channels`` (= the data channel axis).
+    """
+    sig = np.asarray(sig_channels)
+    H, W = chan_map.shape
+    n_elec = pitch_to_n_electrodes(pitch_mm, mm_x, mm_y)
+
+    if n_elec >= max_elec:
+        elec = np.arange(1, max_elec + 1)
+        return np.where(np.isin(sig, elec))[0]
+
+    spacing = max(1.0, np.floor(np.sqrt(H * W / n_elec)))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    positions = np.stack([ys.ravel(), xs.ravel()], 1).astype(float)
+
+    idx = np.array([], np.int64)
+    for _ in range(max_retries):
+        sel = poisson_disk_sample(positions, spacing, rng, n_points=n_elec)
+        coords = positions[sel].astype(int)
+        elec = chan_map[coords[:, 0], coords[:, 1]]
+        elec = elec[~np.isnan(elec)].astype(np.int64)
+        if len(elec) < n_elec and spacing == 1:
+            all_ch = chan_map[~np.isnan(chan_map)].astype(np.int64).ravel()
+            remaining = np.setdiff1d(all_ch, elec)
+            extra = rng.choice(
+                remaining, min(n_elec - len(elec), len(remaining)),
+                replace=False,
+            )
+            elec = np.concatenate([elec, extra])
+        idx = np.where(np.isin(sig, elec))[0]
+        if idx.size:
+            return idx
+    return idx
+
+
 def trial_subsample_indices(y: np.ndarray, n_trials: int,
                             rng: np.random.Generator):
     """Class-balanced random subset of n_trials indices (data-quantity

@@ -18,6 +18,28 @@ Parity contract: for two views and r=0 the top generalized eigenvectors
 reproduce classical CCA's canonical correlations (tested in
 tests/test_mcca.py against sklearn/numpy CCA); for multi-view synthetic
 data with a shared latent, transformed views correlate strongly.
+
+Tested envelope (mvlearn is not installable in this environment, so parity
+is pinned against a float64 transcription of its documented GEVP —
+``tests/oracles.oracle_mcca_gevp``; test_mcca):
+
+- full-rank views, regs in {0.1, 0.5, 0.9}: loadings/evals match the
+  transcription (raw X^T X, unscaled r*I, RHS-orthonormal eigenvectors);
+- ``signal_ranks`` (i_mcca route): SVD-reduce -> reduced GEVP -> map back;
+- **rank-deficient views** (duplicated columns) with regs > 0: matches the
+  transcription — the r*I term keeps the RHS positive-definite exactly as
+  mvlearn's regularization does;
+- **duplicate views** with regs > 0: matches the transcription; canonical
+  directions correlate ~1 across the copies;
+- regs = 0 with a singular within-view Gram is OUTSIDE the parity
+  envelope (scipy.linalg.eigh on a singular RHS is undefined; mvlearn
+  would fail): here ``_inv_sqrt_psd`` masks null eigendirections
+  (pseudo-inverse whitening), keeping outputs finite and shared structure
+  aligned — a documented, tested divergence, not a parity claim.
+
+Residual risk: behavior of mvlearn ITSELF on degenerate inputs may differ
+from its documented formula; any future environment with mvlearn installed
+should re-run test_mcca against the real library.
 """
 
 from __future__ import annotations

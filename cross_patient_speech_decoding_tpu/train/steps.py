@@ -96,6 +96,57 @@ def make_seq2seq_eval_step(model):
     return step
 
 
+def make_classifier_train_step(model, tx):
+    """Plain cross-entropy classifier step for the TCN/Transformer family
+    (the reference's ``BaseLightningModel.training_step``,
+    `nn_models/models.py:15-108`: CE loss + confusion-matrix accuracy)."""
+
+    def step(state: TrainState, batch, key):
+        x, y = batch
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits, updates = model.apply(
+                variables, x, False,
+                mutable=["batch_stats"] if state.batch_stats else [],
+                rngs={"dropout": key},
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+            new_bs = (
+                updates["batch_stats"] if state.batch_stats
+                else state.batch_stats
+            )
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = cmat_acc(y, jnp.argmax(logits, axis=-1), model.num_classes)
+        new_state = TrainState(state.step + 1, new_params, new_opt, new_bs)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def make_classifier_eval_step(model):
+    def step(state: TrainState, batch):
+        x, y = batch
+        logits, _ = _apply(model, state, x, True, train=False)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+        acc = cmat_acc(y, jnp.argmax(logits, axis=-1), model.num_classes)
+        return {"loss": loss, "acc": acc}
+
+    return step
+
+
 def make_ctc_train_step(model, tx):
     def step(state: TrainState, batch, key):
         x, labels, input_lens, label_lens = batch

@@ -18,6 +18,19 @@ from typing import Any
 def _coerce(val: str, typ):
     if typ is bool or isinstance(typ, type) and issubclass(typ, bool):
         return str(val).lower() in ("1", "true", "yes", "y")
+    if typ is tuple:
+        # comma list override (e.g. win_sizes=2,4 or pitches=1.5,2.5);
+        # elements become int/float when possible, else stay strings
+        # (the grid sweep's 'AxB' rectangular window specs)
+        def elem(s):
+            for t in (int, float):
+                try:
+                    return t(s)
+                except ValueError:
+                    continue
+            return s
+
+        return tuple(elem(s) for s in str(val).split(",") if s != "")
     try:
         if typ in (int, float, str):
             return typ(val)
@@ -82,6 +95,14 @@ class SVMDecodeConfig:
     lam: float = 1.0
     kernel: str = "rbf"
     tar_in_train: bool = True
+    # nested Bayesian hyperparameter search per outer fold — the
+    # reference's do_cv flag wiring BayesSearchCV(n_iter=25, n_points=5)
+    # into the main driver (aligned_decode_svm_ncv.py:373-404);
+    # nested_rounds x nested_points = its n_iter candidate budget
+    nested: bool = False
+    nested_rounds: int = 5
+    nested_points: int = 5
+    nested_inner: int = 5
     bagging: int = 0  # >0: bootstrap ensemble head (aligned_decode_svm.py:262)
     random_data: bool = False  # -r control: replace cross data with noise
     surrogate: str = "none"  # none | tme | shuffle (supp_fig_11 controls)
@@ -115,8 +136,48 @@ class TrainSeq2SeqConfig:
     decay_iters: int = 20
     pooled: bool = True  # cross-patient aligned pooling
     fold_parallel: bool = True  # train all folds as one vmapped program
+    log_metrics: bool = True  # per-epoch (or per-iteration) CSV logs
+    trace: bool = False  # device profile of the first iteration
     seed: int = 0
     out: str = "results/seq2seq.csv"
+
+
+@dataclass
+class TrainNNConfig:
+    """NN-classifier decode driver — the working version of the reference's
+    ``scripts/aligned_decode_nn.py`` (which never constructs its classifier
+    and crashes at :265; model surface `nn_models/models.py:393-596`):
+    aligned cross-patient pooling -> NN classifier -> k-fold accuracy."""
+
+    data: str = "synthetic"  # pt_decoding_data*.pkl path or 'synthetic'
+    target_pt: str = "S14"
+    p_ind: int = -1
+    lab_type: str = "phon"
+    algn_type: str = "phon_seq"
+    model: str = "tcn"  # tcn | transformer | cnn_transformer | conv_rnn
+    pooled: bool = True  # aligned cross-patient pooling (False: target only)
+    n_iter: int = 50
+    n_folds: int = 20
+    epochs: int = 100
+    batch_size: int = 5000
+    n_filters: int = 100
+    hidden: int = 128
+    d_model: int = 64
+    n_heads: int = 4
+    n_layers: int = 2
+    dim_ff: int = 256
+    kernel_size: int = 10
+    dropout: float = 0.3
+    n_comp: float = 0.9
+    max_k: int = 24
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    clip: float = 0.5
+    decay_iters: int = 20
+    log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
+    trace: bool = False  # device profile of the first iteration
+    seed: int = 0
+    out: str = "results/nn_decode.pkl"
 
 
 @dataclass
@@ -161,6 +222,8 @@ class TrainCTCConfig:
     test_frac: float = 0.2
     decode: str = "greedy"  # greedy | beam (prefix beam rescoring at test)
     beam_size: int = 100
+    log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
+    trace: bool = False  # device profile of the first iteration
     seed: int = 0
     out: str = "results/ctc.pkl"  # incremental per-iteration results (resume)
 
@@ -219,3 +282,6 @@ class RealtimeSimConfig:
     # ``per_step_chain`` python-dispatched single steps before one sync
     per_step_samples: int = 0
     per_step_chain: int = 200
+    # persist the measured latency distribution for offline analysis
+    # (analysis.latency — the supp_fig_20/24 flows)
+    out: str = ""

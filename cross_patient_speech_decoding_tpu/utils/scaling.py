@@ -41,6 +41,7 @@ def trials_to_target_per(trials: np.ndarray, per: np.ndarray,
     fit = log_linear_fit(trials, per)
     if fit["slope"] >= 0:
         return float("inf")  # PER not improving with data
-    return float(
-        np.exp((np.log(target_per) - fit["intercept"]) / fit["slope"])
-    )
+    expo = (np.log(target_per) - fit["intercept"]) / fit["slope"]
+    if expo > 700.0:  # exp would overflow float64 — effectively unreachable
+        return float("inf")
+    return float(np.exp(expo))

@@ -1,0 +1,72 @@
+"""Single-patient vs pairwise vs pooled decode comparison (fig_3 analog).
+
+The reference's ``figure_analyses/fig_3.ipynb`` compares, for one target
+patient, (a) decoding from the target's own data alone, (b) decoding with
+each single cross patient aligned-pooled in turn, and (c) the full pooled
+set — then runs paired stats over the iteration distributions. The same
+flow here uses the vmapped fold decoder, so every condition is a couple of
+XLA launches.
+
+    python examples/fig_decode_comparison.py [n_iter]
+"""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n_iter: int = 5):
+    from cross_patient_speech_decoding_tpu.analysis import (
+        context_comparison_table,
+        wilcoxon_signed_rank,
+    )
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _patients_from_config,
+    )
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        repeated_stratified_kfold_masks,
+    )
+    from cross_patient_speech_decoding_tpu.decoders import (
+        DecodeConfig,
+        make_cv_decoder,
+    )
+
+    n_iter = int(n_iter)
+    # hard regime so pooling and alignment visibly matter
+    tar, cross, n_y, n_a = _patients_from_config(
+        "synthetic", "S14", seed=0, noise=3.0, trials_per_class=6
+    )
+    cfg = DecodeConfig(n_comp=0.9, max_k=24, n_classes=n_y,
+                       n_align_classes=n_a, lam=1e-2)
+    dec = make_cv_decoder("sep_align", cfg, fold_batch=10)
+    tr, te = repeated_stratified_kfold_masks(
+        np.asarray(tar.y), 5, n_iter, seed=0
+    )
+    trj, tej = jnp.asarray(tr), jnp.asarray(te)
+
+    groups = {}
+    # (a) single-patient: no cross data pooled
+    groups["single"] = np.asarray(dec(tar, (), trj, tej))
+    # (b) pairwise: one cross patient at a time
+    for i, c in enumerate(cross):
+        groups[f"pair{i + 1}"] = np.asarray(dec(tar, (c,), trj, tej))
+    # (c) full pooled set
+    groups["pooled"] = np.asarray(dec(tar, cross, trj, tej))
+
+    for name, accs in groups.items():
+        print(f"{name:8s}: {accs.mean():.3f} +- {accs.std():.3f} "
+              f"(chance {1.0 / n_y:.3f})")
+
+    rows = context_comparison_table(
+        groups, alpha=0.05, test=wilcoxon_signed_rank
+    )
+    print("\npairwise Wilcoxon + BH-FDR over fold distributions:")
+    for r in rows:
+        print(f"  {r.a} vs {r.b}: stat={r.statistic:.1f} p={r.pvalue:.4f} "
+              f"p_fdr={r.pvalue_fdr:.4f}{' *' if r.significant else ''}")
+    return groups, rows
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:2]))

@@ -368,3 +368,57 @@ class TestDegenerateInputs:
         by = {(r.a, r.b): r for r in rows}
         assert np.isnan(by[("a", "b")].pvalue_fdr)
         assert np.isfinite(by[("a", "c")].pvalue_fdr)  # not poisoned
+
+
+class TestLatency:
+    """supp_fig_20/24 latency-analysis flows (analysis.latency)."""
+
+    def test_latency_report_summary(self):
+        from cross_patient_speech_decoding_tpu.analysis import latency_report
+
+        rng = np.random.default_rng(0)
+        s = rng.gamma(4.0, 5.0, size=500)  # ms-scale skewed latencies
+        rep = latency_report(s, deadline_ms=40.0)
+        assert rep["n"] == 500
+        np.testing.assert_allclose(rep["p50_ms"], np.percentile(s, 50))
+        np.testing.assert_allclose(rep["p90_ms"], np.percentile(s, 90))
+        np.testing.assert_allclose(rep["p99_ms"], np.percentile(s, 99))
+        np.testing.assert_allclose(rep["max_ms"], s.max())
+        np.testing.assert_allclose(rep["violation_rate"], (s > 40.0).mean())
+
+    def test_latency_report_small_n_has_no_p99(self):
+        from cross_patient_speech_decoding_tpu.analysis import latency_report
+
+        rep = latency_report(np.arange(1.0, 11.0))
+        assert rep["p99_ms"] is None and rep["max_ms"] == 10.0
+
+    def test_latency_comparison_scipy_oracle(self):
+        import scipy.stats as ss
+
+        from cross_patient_speech_decoding_tpu.analysis import (
+            latency_comparison,
+        )
+
+        rng = np.random.default_rng(1)
+        groups = {
+            "small": rng.gamma(4.0, 1.0, 60),
+            "large": rng.gamma(4.0, 2.0, 60),
+            "same": rng.gamma(4.0, 1.0, 60),
+        }
+        rows = latency_comparison(groups, alpha=0.05)
+        assert len(rows) == 3
+        for r in rows:
+            ref = ss.mannwhitneyu(groups[r.a], groups[r.b],
+                                  alternative="two-sided")
+            np.testing.assert_allclose(r.pvalue, ref.pvalue, rtol=1e-4)
+        by_pair = {(r.a, r.b): r for r in rows}
+        assert by_pair[("small", "large")].significant
+        assert not by_pair[("small", "same")].significant
+
+    def test_latency_comparison_needs_two(self):
+        from cross_patient_speech_decoding_tpu.analysis import (
+            latency_comparison,
+        )
+
+        with pytest.raises(ValueError):
+            latency_comparison({"only": np.arange(5.0)})

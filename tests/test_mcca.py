@@ -178,3 +178,69 @@ def test_mcca_signal_ranks_matches_imcca_transcription():
         np.testing.assert_allclose(
             scores_m * sign, scores_o, atol=5e-3 * np.abs(scores_o).max()
         )
+
+
+def test_mcca_rank_deficient_view_matches_transcription():
+    """Degenerate-view envelope: a rank-deficient view (duplicated
+    columns) with regs > 0 still matches the float64 mvlearn
+    transcription — the r*I term keeps the GEVP well-posed exactly as
+    mvlearn's regularization does."""
+    from oracles import oracle_mcca_gevp
+
+    rng = np.random.default_rng(11)
+    z = rng.normal(size=(70, 3))
+    X1 = z @ rng.normal(size=(3, 6)) + 0.2 * rng.normal(size=(70, 6))
+    base = z @ rng.normal(size=(3, 4)) + 0.2 * rng.normal(size=(70, 4))
+    X2 = np.concatenate([base, base[:, :3]], axis=1)  # rank 4, p=7
+    k = 3
+    W_o, ev_o, means_o = oracle_mcca_gevp([X1, X2], k, regs=0.5)
+    st = mcca_fit([jnp.asarray(X1, jnp.float32),
+                   jnp.asarray(X2, jnp.float32)], k, regs=0.5)
+    np.testing.assert_allclose(np.asarray(st.evals), ev_o, rtol=5e-3)
+    for b, X in enumerate((X1, X2)):
+        scores_o = (X - means_o[b]) @ W_o[b]
+        scores_m = np.asarray(
+            mcca_transform(st, jnp.asarray(X, jnp.float32), b)
+        )
+        sign = np.sign(np.sum(scores_o * scores_m, axis=0, keepdims=True))
+        np.testing.assert_allclose(
+            scores_m * sign, scores_o, atol=1e-2 * np.abs(scores_o).max()
+        )
+
+
+def test_mcca_duplicate_views_matches_transcription():
+    """Two identical views: perfectly correlated canonical directions
+    (top eigenvalues -> n_views) and transcription parity at regs > 0."""
+    from oracles import oracle_mcca_gevp
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(60, 5))
+    k = 3
+    W_o, ev_o, means_o = oracle_mcca_gevp([X, X.copy()], k, regs=0.5)
+    st = mcca_fit([jnp.asarray(X, jnp.float32)] * 2, k, regs=0.5)
+    np.testing.assert_allclose(np.asarray(st.evals), ev_o, rtol=5e-3)
+    t0 = np.asarray(mcca_transform(st, jnp.asarray(X, jnp.float32), 0))
+    t1 = np.asarray(mcca_transform(st, jnp.asarray(X, jnp.float32), 1))
+    for i in range(k):
+        r = abs(np.corrcoef(t0[:, i], t1[:, i])[0, 1])
+        assert r > 0.999, (i, r)
+
+
+def test_mcca_unregularized_rank_deficient_is_finite():
+    """regs=0 on a singular Gram: OUTSIDE the mvlearn-parity envelope
+    (scipy eigh on a singular RHS is undefined); the masked pseudo-inverse
+    whitening documented in the module keeps every output finite and the
+    shared structure aligned."""
+    rng = np.random.default_rng(13)
+    z = rng.normal(size=(50, 2))
+    X1 = z @ rng.normal(size=(2, 5)) + 0.1 * rng.normal(size=(50, 5))
+    base = z @ rng.normal(size=(2, 3))
+    X2 = np.concatenate([base, base], axis=1)  # exactly rank 2, p=6
+    st = mcca_fit([jnp.asarray(X1, jnp.float32),
+                   jnp.asarray(X2, jnp.float32)], 2, regs=0.0)
+    assert np.isfinite(np.asarray(st.evals)).all()
+    t1 = np.asarray(mcca_transform(st, jnp.asarray(X1, jnp.float32), 0))
+    t2 = np.asarray(mcca_transform(st, jnp.asarray(X2, jnp.float32), 1))
+    assert np.isfinite(t1).all() and np.isfinite(t2).all()
+    r = abs(np.corrcoef(t1[:, 0], t2[:, 0])[0, 1])
+    assert r > 0.9, r

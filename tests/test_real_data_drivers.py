@@ -220,6 +220,47 @@ def test_train_seq2seq_from_pkl(decoding_pkl, tmp_path):
     assert np.isfinite(accs).all() and (accs >= 0).all() and (accs <= 1).all()
 
 
+@pytest.mark.parametrize(
+    "model", ["tcn", "transformer", "cnn_transformer", "conv_rnn"]
+)
+def test_train_nn_from_pkl_all_models(decoding_pkl, tmp_path, model):
+    """The NN-classifier decode driver (working aligned_decode_nn.py) runs
+    file-backed for every model family."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import run_train_nn
+    from cross_patient_speech_decoding_tpu.utils.config import TrainNNConfig
+
+    cfg = TrainNNConfig(
+        data=decoding_pkl, target_pt="S14", p_ind=1, model=model,
+        n_iter=1, n_folds=2, epochs=3, n_filters=8, hidden=12, d_model=16,
+        n_heads=2, n_layers=1, dim_ff=32, kernel_size=5, max_k=8,
+        decay_iters=3, out=str(tmp_path / f"nn_{model}.pkl"), seed=0,
+    )
+    accs = run_train_nn(cfg, verbose=False)
+    assert accs.shape == (1, 2)
+    assert np.isfinite(accs).all() and (accs >= 0).all() and (accs <= 1).all()
+    store = load_pkl(tmp_path / f"nn_{model}.pkl")
+    assert len(store["accs"]) == 1
+
+
+def test_train_nn_resume(decoding_pkl, tmp_path):
+    from cross_patient_speech_decoding_tpu.cli.experiments import run_train_nn
+    from cross_patient_speech_decoding_tpu.utils.config import TrainNNConfig
+
+    base = dict(
+        data=decoding_pkl, target_pt="S14", p_ind=1, model="tcn", n_folds=2,
+        epochs=2, n_filters=8, kernel_size=5, max_k=8, decay_iters=2, seed=0,
+    )
+    out = str(tmp_path / "nn_resume.pkl")
+    full = run_train_nn(
+        TrainNNConfig(n_iter=2, out=str(tmp_path / "full.pkl"), **base),
+        verbose=False,
+    )
+    run_train_nn(TrainNNConfig(n_iter=1, out=out, **base), verbose=False)
+    resumed = run_train_nn(TrainNNConfig(n_iter=2, out=out, **base),
+                           verbose=False)
+    np.testing.assert_allclose(resumed, full, rtol=1e-5)
+
+
 def test_tune_ctc_from_h5(ctc_h5, tmp_path):
     from cross_patient_speech_decoding_tpu.cli.experiments import run_tune_ctc
 
