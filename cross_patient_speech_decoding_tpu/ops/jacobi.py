@@ -134,27 +134,37 @@ def batched_eigh(A: jax.Array, sweeps: int = 8):
 
 def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 64,
                        interpret: bool | None = None):
-    """Pallas TPU backend: A, V live in VMEM across all rotation steps.
+    """Pallas TPU backend: A, V live in VMEM across one full sweep.
 
     A is (..., K, K); leading dims are flattened and tiled into the
     kernel grid in ``block``-sized batch tiles. Falls back to
     :func:`jacobi_eigh` on non-TPU backends unless ``interpret`` forces
     the interpreter (CPU parity tests).
 
-    Kernel formulation (v2 — the v1 body used per-iteration BATCHED
-    (block, K, K) dot_generals, which Mosaic executes as `block` tiny
-    MXU ops each; at K=40 per-op overhead dominated and the eigh was
-    ~75% of the whole alignment fit). Because the per-step rotation
-    pattern P is SHARED across the batch (only the angles c, s differ),
-    every product against R = diag(c) + P*s splits into one FLAT
-    (B*K, K) @ (K, K) matmul plus elementwise scaling:
+    Kernel formulation (v3). v1 used per-iteration BATCHED (block, K, K)
+    dot_generals — `block` tiny MXU ops each, overhead-dominated. v2
+    exploited the batch-shared rotation pattern P so every product against
+    R = diag(c) + P*s became one FLAT (B*K, K) @ (K, K) matmul plus
+    elementwise scaling:
 
         A R   = A * c[col] + (flat(A) @ P) * s_perm[col]
         R^T B = ((flat(B^T) @ P) * s_perm[col] + B^T * c[col])^T,
 
-    and since A stays symmetric after each full step, the final
-    transpose is free (R^T A R is symmetric). 3 flat matmuls + one
-    in-kernel transpose per step instead of 3*block mini matmuls.
+    with the final transpose free (R^T A R is symmetric). Measured v2
+    residual: ~15 us per rotation step REGARDLESS of matmul formulation —
+    fori_loop bookkeeping + dynamic indexing of the P/sign tables, not
+    MXU time (fusing V's matmul into A's changed nothing). v3 therefore:
+
+    - bakes the whole round-robin schedule as CONSTANTS into a kernel
+      that executes ONE fully-unrolled sweep (K-1 static steps, no
+      dynamic table indexing, no inner loop state);
+    - runs the sweep kernel under an XLA-level ``lax.while_loop`` with a
+      convergence test (relative off-diagonal Frobenius mass at the f32
+      floor) between sweeps — Mosaic's in-kernel while/cond miscompiles
+      array carries on this toolchain (relayout bug), and the sweep-level
+      A/V round trip through HBM is ~3 MB, negligible next to the
+      per-step overhead it eliminates. Well-conditioned Gram batches
+      finish in 4-5 of the 8 budgeted sweeps.
     """
     if interpret is None:
         interpret = False
@@ -188,78 +198,138 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 64,
     perms_np, signs_np = _round_robin_schedule(Kp)
     n_steps = perms_np.shape[0]
     perms = jnp.asarray(perms_np, A.dtype)  # (n_steps, Kp, Kp)
-    signs = jnp.asarray(signs_np, A.dtype)  # (n_steps, Kp)
+    # (n_steps, 1, Kp): Mosaic block shapes need the sublane dim present
+    signs = jnp.asarray(signs_np[:, None, :], A.dtype)
 
-    def kernel(P_ref, S_ref, A_ref, w_ref, V_ref):
-        eye = jnp.eye(Kp, dtype=A_ref.dtype)
-        A0 = A_ref[:]
-        V0 = jnp.broadcast_to(eye[None], A0.shape)
+    def sweep_kernel(P_ref, S_ref, A_ref, V_ref, Ao_ref, Vo_ref,
+                     A_scr, V_scr):
+        # the rotation step is a GRID dimension: P/sign arrive as
+        # DMA-prefetched (1, Kp, Kp)/(1, Kp) blocks — no in-body loop
+        # state, no dynamic table indexing (both measured as the v2
+        # bottleneck), and a small body that compiles in seconds
+        step = pl.program_id(1)
+
+        @pl.when(step == 0)
+        def _():
+            A_scr[:] = A_ref[:]
+            V_scr[:] = V_ref[:]
+
+        eye = jnp.eye(Kp, dtype=A_scr.dtype)
+        A_cur = A_scr[:]
+        V = V_scr[:]
+        P = P_ref[0]
+        sign = S_ref[0]  # (1, Kp) — broadcasts over the batch rows
         hp = jax.lax.Precision.HIGHEST
 
-        def flat_mm(X, P):  # (BB, Kp, Kp) @ (Kp, Kp), batch dim free (no
-            # reshape: repacking the lane-padded (BB, Kp, Kp) layout into
-            # (BB*Kp, Kp) cost a relayout per call)
-            return jax.lax.dot_general(
-                X, P, (((2,), (0,)), ((), ())), precision=hp,
-                preferred_element_type=jnp.float32,
-            )
+        def flat_mm(X, P):
+            # (BB, M, Kp) @ (Kp, Kp) against a 0/1 PERMUTATION matrix:
+            # P is exact in bf16, so a manual 3-term bf16 split of X
+            # reproduces the f32 product at 3 MXU passes — Mosaic's
+            # HIGHEST costs 6 passes and measured ~60% of the whole
+            # sweep, while DEFAULT's single pass destroys convergence
+            # (relerr 2e-1). No reshape: repacking the lane-padded
+            # layout into (BB*M, Kp) cost a relayout per call.
+            def one(Xp):
+                return jax.lax.dot_general(
+                    Xp, P.astype(jnp.bfloat16), (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-        def body(i, carry):
-            A_cur, V = carry
-            idx = i % n_steps
-            P = P_ref[idx]
-            sign = S_ref[idx]
-            # diagonal via masked rowsum (Mosaic supports no 3-D gather)
-            diag = jnp.sum(A_cur * eye[None], axis=-1)
-            a_partner = jnp.dot(diag, P, precision=hp)  # P symmetric
-            a_pq = jnp.sum(A_cur * P[None], axis=-1)
-            small = jnp.abs(a_pq) < 1e-30
-            tau = sign[None] * (a_partner - diag) / (
-                2.0 * jnp.where(small, 1.0, a_pq)
-            )
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-            t = jnp.where(small, 0.0, t)
-            c = 1.0 / jnp.sqrt(1.0 + t * t)
-            s_full = sign[None] * t * c
-            s_perm = jnp.dot(s_full * P.sum(0)[None], P, precision=hp)
-            # s_perm[b, j] = s_full[b, sigma(j)] (P is a symmetric
-            # permutation; rows with no partner give 0)
-            ccol = c[:, None, :]
-            scol = s_perm[:, None, :]
-            B1 = A_cur * ccol + flat_mm(A_cur, P) * scol  # A R
-            B1t = B1.swapaxes(-1, -2)
-            M = B1t * ccol + flat_mm(B1t, P) * scol  # (R^T A R)^T == R^T A R
-            M = 0.5 * (M + M.swapaxes(-1, -2))
-            V_new = V * ccol + flat_mm(V, P) * scol  # V R
-            return M, V_new
+            hi = X.astype(jnp.bfloat16)
+            r1 = X - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (one(hi) + one(mid)) + one(lo)
 
-        A_f, V_f = jax.lax.fori_loop(0, n_steps * sweeps, body, (A0, V0))
-        w_ref[:] = jnp.sum(A_f * eye[None], axis=-1)
-        V_ref[:] = V_f
+        diag = jnp.sum(A_cur * eye[None], axis=-1)
+        a_partner = jnp.dot(diag, P, precision=hp)  # P symmetric
+        a_pq = jnp.sum(A_cur * P[None], axis=-1)
+        small = jnp.abs(a_pq) < 1e-30
+        tau = sign * (a_partner - diag) / (
+            2.0 * jnp.where(small, 1.0, a_pq)
+        )
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s_full = sign * t * c
+        # s_perm[b, j] = s_full[b, sigma(j)]: P is a symmetric full
+        # permutation (even Kp round-robin pairs EVERY row each step)
+        s_perm = jnp.dot(s_full, P, precision=hp)
+        ccol = c[:, None, :]
+        scol = s_perm[:, None, :]
+        B1 = A_cur * ccol + flat_mm(A_cur, P) * scol  # A R
+        B1t = B1.swapaxes(-1, -2)
+        M = B1t * ccol + flat_mm(B1t, P) * scol  # (R^T A R)^T == R^T A R
+        M = 0.5 * (M + M.swapaxes(-1, -2))
+        V_new = V * ccol + flat_mm(V, P) * scol  # V R
+        A_scr[:] = M
+        V_scr[:] = V_new
 
-    w, V = pl.pallas_call(
-        kernel,
-        grid=(Bp // BB,),
+        @pl.when(step == n_steps - 1)
+        def _():
+            Ao_ref[:] = M
+            Vo_ref[:] = V_new
+
+    sweep_call = pl.pallas_call(
+        sweep_kernel,
+        grid=(Bp // BB, n_steps),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # P table (constant-ish)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (BB, Kp, Kp), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, Kp, Kp), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Kp), lambda b, t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Kp, Kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Kp, Kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BB, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (BB, Kp, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((BB, Kp, Kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Kp, Kp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, Kp), A.dtype),
+            jax.ShapeDtypeStruct((Bp, Kp, Kp), A.dtype),
             jax.ShapeDtypeStruct((Bp, Kp, Kp), A.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, Kp, Kp), jnp.float32),
+            pltpu.VMEM((BB, Kp, Kp), jnp.float32),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
         interpret=interpret,
-    )(perms, signs, A)
+    )
+
+    # sweep-level convergence loop at the XLA level (in-kernel while/cond
+    # trips a Mosaic relayout bug on array carries); tolerance = relative
+    # off-diagonal Frobenius mass at the f32 floor
+    eye_h = jnp.eye(Kp, dtype=A.dtype)
+    total0 = jnp.sum(A * A)
+    tol = jnp.maximum(total0, jnp.asarray(1e-30, A.dtype)) * 5e-14
+
+    def off_mass(Ax):
+        # masked square-sum, NOT sum(A^2) - sum(diag^2): the subtraction
+        # cancels catastrophically in f32 near convergence and reports
+        # "converged" ~1-2 sweeps early (observed 30x recon-error loss)
+        offd = Ax * (1.0 - eye_h[None])
+        return jnp.sum(offd * offd)
+
+    def cond_fn(carry):
+        s, Ax, _ = carry
+        return (s < sweeps) & (off_mass(Ax) > tol)
+
+    def body_fn(carry):
+        s, Ax, Vx = carry
+        Ax, Vx = sweep_call(perms, signs, Ax, Vx)
+        return s + 1, Ax, Vx
+
+    V0 = jnp.broadcast_to(eye_h[None], A.shape).astype(A.dtype)
+    _, A_f, V = jax.lax.while_loop(cond_fn, body_fn, (0, A, V0))
+    w = jnp.sum(A_f * eye_h[None], axis=-1)
 
     w, V = w[:B], V[:B]
     order = jnp.argsort(w, axis=-1)
