@@ -196,6 +196,10 @@ def cca_align(
     La = _masked_center_cols(L_a, row_mask)
     Lb = _masked_center_cols(L_b, row_mask)
 
+    # NOTE: stacking La/Lb into one eigensolver launch (jnp.stack ->
+    # single batched_eigh) was tried and reverted: ~5% projected gain,
+    # but the resulting fit program reproducibly crashed/hung the remote
+    # TPU compile helper (round-3 log). Two launches are robust.
     q_a, pinv_ra, rank_a = _orthonormalize(La, method)
     q_b, pinv_rb, rank_b = _orthonormalize(Lb, method)
     d = jnp.minimum(rank_a, rank_b)
