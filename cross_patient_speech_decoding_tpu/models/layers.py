@@ -38,13 +38,19 @@ class FusedGRU(nn.Module):
     precision: Optional[jax.lax.Precision] = None  # None = MXU-fast default
 
     @nn.compact
-    def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None):
+    def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None,
+                 return_params: bool = False):
         B, T, F = x.shape
         H = self.hidden
         wi = self.param("wi", nn.initializers.xavier_uniform(), (F, 3 * H))
         wh = self.param("wh", nn.initializers.orthogonal(), (H, 3 * H))
         bi = self.param("bi", nn.initializers.zeros, (3 * H,))
         bh = self.param("bh", nn.initializers.zeros, (3 * H,))
+        if return_params:
+            # StackedRNN's fused-bidirectional path drives both
+            # directions through one kernel; params are created here so
+            # the tree is identical either way
+            return wi, bi, wh, bh
 
         if h0 is None:
             h0 = jnp.zeros((B, H), x.dtype)
@@ -60,7 +66,7 @@ class FusedGRU(nn.Module):
         # (bf16-class) precision — a caller pinning Precision.HIGHEST
         # must get the scan path's precision-threaded matmuls
         if (pallas_gru.enabled() and self.precision is None
-                and T >= 8 and B * T >= 65536):
+                and pallas_gru.worthwhile(B, T)):
             # fully-fused layer (ops/pallas_gru.py): the input projection
             # happens inside the time sweep — no (B, T, 3H) stream — and
             # weights + h stay VMEM-resident; custom VJP
@@ -151,6 +157,37 @@ class StackedRNN(nn.Module):
             h0_f = None if h0 is None else h0[layer * n_dir]
             if self.cell == "lstm" and h0_f is not None:
                 h0_f = (h0_f, jnp.zeros_like(h0_f))
+            from cross_patient_speech_decoding_tpu.ops import pallas_gru
+
+            B_, T_, _ = out.shape
+            if (self.bidirectional and self.cell == "gru"
+                    and pallas_gru.enabled() and pallas_gru.BIDIR_FUSED
+                    and pallas_gru.worthwhile(B_, T_)):
+                # fused bidirectional kernel: both directions advance in
+                # one grid step (halves the serial chain; the lone-
+                # direction forward leaves the MXU ~half idle)
+                h0_b = None if h0 is None else h0[layer * n_dir + 1]
+                pf = Cell(self.hidden, name=f"fwd{layer}")(
+                    out, return_params=True
+                )
+                pb = Cell(self.hidden, reverse=True, name=f"bwd{layer}")(
+                    out, return_params=True
+                )
+                z = jnp.zeros((B_, self.hidden), out.dtype)
+                hs_f, hs_b = pallas_gru.gru_layer_bidir(
+                    out.swapaxes(0, 1),
+                    z if h0_f is None else h0_f,
+                    z if h0_b is None else h0_b,
+                    *pf, *pb,
+                )
+                fwd, bwd = hs_f.swapaxes(0, 1), hs_b.swapaxes(0, 1)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+                lasts.extend([fwd[:, -1, :], bwd[:, 0, :]])
+                if self.dropout > 0 and layer < self.n_layers - 1:
+                    out = nn.Dropout(self.dropout)(
+                        out, deterministic=deterministic
+                    )
+                continue
             fwd, last_f = Cell(self.hidden, name=f"fwd{layer}")(out, h0_f)
             if self.bidirectional:
                 h0_b = None if h0 is None else h0[layer * n_dir + 1]

@@ -173,3 +173,35 @@ def test_realtime_rnn_forward_and_windows():
     # blank-bias init: blank logit should dominate at start of training
     mean_logits = np.asarray(logits).mean(axis=(0, 1))
     assert mean_logits[0] > mean_logits[1:].max()
+
+
+def test_stacked_rnn_fused_bidir_wiring(monkeypatch):
+    """The fused-bidirectional StackedRNN path (forced on via the
+    dispatch hooks, interpret-mode kernels) matches the two-cell path
+    exactly — same param tree, same outputs/lasts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.models.layers import StackedRNN
+    from cross_patient_speech_decoding_tpu.ops import pallas_gru
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 12, 10)) * 0.5, jnp.float32)
+    mod = StackedRNN(hidden=16, n_layers=2, bidirectional=True)
+    variables = mod.init(jax.random.key(0), x)
+    out_ref, lasts_ref = mod.apply(variables, x)
+
+    monkeypatch.setattr(pallas_gru, "enabled", lambda: True)
+    monkeypatch.setattr(pallas_gru, "MIN_BT", 1)
+    monkeypatch.setattr(pallas_gru, "MIN_SEQ_T", 1)
+    # identical param tree: init under the fused path must match
+    v2 = mod.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables
+    )
+    out_fused, lasts_fused = mod.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(lasts_fused),
+                               np.asarray(lasts_ref), atol=2e-6)

@@ -125,3 +125,52 @@ def test_fused_gru_layer_consistent_across_paths():
         np.asarray(out), np.asarray(hs.swapaxes(0, 1)), atol=1e-5
     )
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(hs[-1]), atol=1e-5)
+
+
+def test_bidir_forward_matches_two_references():
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_bidir,
+    )
+
+    xf = _case(seed=5)
+    xb = _case(seed=6)
+    x = xf[0]
+    h0f, wif, bif, whf, bhf = xf[1:]
+    h0b, wib, bib, whb, bhb = xb[1:]
+    hs_f, hs_b = gru_layer_bidir(x, h0f, h0b, wif, bif, whf, bhf,
+                                 wib, bib, whb, bhb)
+    ref_f = gru_layer_reference(x, h0f, wif, bif, whf, bhf, False)
+    ref_b = gru_layer_reference(x, h0b, wib, bib, whb, bhb, True)
+    np.testing.assert_allclose(np.asarray(hs_f), np.asarray(ref_f), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hs_b), np.asarray(ref_b), atol=2e-6)
+
+
+def test_bidir_padded_shapes_and_grads():
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_bidir,
+    )
+
+    # H=50 exercises lane padding, B=21 batch padding
+    xf = _case(seed=7, T=5, B=21, F=9, H=50)
+    xb = _case(seed=8, T=5, B=21, F=9, H=50)
+    x = xf[0]
+    args = (x, xf[1], xb[1], xf[2], xf[3], xf[4], xf[5],
+            xb[2], xb[3], xb[4], xb[5])
+
+    def loss_bidir(*a):
+        f, b = gru_layer_bidir(*a)
+        return jnp.sum(jnp.sin(f)) + jnp.sum(jnp.cos(b))
+
+    def loss_ref(x, h0f, h0b, wif, bif, whf, bhf, wib, bib, whb, bhb):
+        f = gru_layer_reference(x, h0f, wif, bif, whf, bhf, False)
+        b = gru_layer_reference(x, h0b, wib, bib, whb, bhb, True)
+        return jnp.sum(jnp.sin(f)) + jnp.sum(jnp.cos(b))
+
+    n = len(args)
+    gp = jax.grad(loss_bidir, argnums=tuple(range(n)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(n)))(*args)
+    for a, b in zip(gp, gr):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
+        )
