@@ -84,7 +84,12 @@ def bench_alignment():
         k1, k2 = jax.random.split(key)
         mixes = jax.random.normal(k1, (BATCH, 8, K), jnp.float32)
         noise = 0.3 * jax.random.normal(k2, (BATCH, N, T, K), jnp.float32)
-        return jnp.einsum("ntl,blk->bntk", lat_dev, mixes) + noise
+        x = jnp.einsum("ntl,blk->bntk", lat_dev, mixes) + noise
+        # flat (N, T*K) trials layout: K=40 << the 128-lane tile, so the
+        # (N, T, K) layout pads every read of the trial tensor ~3x; the
+        # library's t_len path keeps the class-average reduction dense
+        # (ops/cca.py:fit_cca_aligner)
+        return x.reshape(BATCH, N, T * K)
 
     Xa = make_batch(jax.random.key(0))
     Xb = make_batch(jax.random.key(1))
@@ -93,7 +98,8 @@ def bench_alignment():
 
     # native batch axis (not vmap): lets the Pallas Jacobi eigensolver in
     # the gram path run at full block width
-    fit = jax.jit(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C))
+    fit = jax.jit(lambda xa, xb, ya, yb: fit_cca_aligner(xa, xb, ya, yb, C,
+                                                         t_len=T))
 
     out = _with_compile_retry(fit, Xa, Xb, ids_a, ids_b)
     _ = np.asarray(out.alignment.d[0])

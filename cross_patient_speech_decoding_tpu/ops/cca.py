@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cross_patient_speech_decoding_tpu.ops.precision import hdot, hpinv
+from cross_patient_speech_decoding_tpu.ops.precision import HIGHEST, hdot, hpinv
 
 
 class CCAAlignment(NamedTuple):
@@ -91,33 +91,16 @@ def _rank_tol(s: jax.Array, n_rows, n_cols) -> jax.Array:
 
 
 def _orthonormalize(L: jax.Array, method: str = "svd"):
-    """Orthonormal column-space basis with null directions zeroed.
+    """Orthonormal column-space basis with null directions zeroed (SVD path).
 
     Returns (Q, pinv_R, rank): L = Q @ R with Q (R_rows, K) having exact
     zero columns for null directions, and pinv_R = pinv(R) (K, K) where
-    R = diag(s) @ V^T.
-
-    method='svd' (default): thin SVD — most accurate.
-    method='gram': eigh of the K x K Gram matrix L^T L — ~1.5x faster for
-    tall L on TPU (one matmul + tiny eigh instead of a tall SVD) at the
-    cost of squaring the condition number; fine for the well-conditioned
-    class-averaged latents of the alignment path.
+    R = diag(s) @ V^T. Thin SVD — most accurate. The fast Gram-eigh
+    formulation lives in :func:`_cca_align_gram`, which never materializes
+    Q at all.
     """
+    del method
     R, K = L.shape[-2], L.shape[-1]
-    if method == "gram":
-        from cross_patient_speech_decoding_tpu.ops.jacobi import batched_eigh
-
-        g = hdot(L.swapaxes(-1, -2), L)
-        w, v = batched_eigh(g)
-        s = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
-        v = v[..., ::-1]
-        tol = _rank_tol(s, R, K)
-        keep = (s > tol).astype(L.dtype)
-        rank = jnp.sum(keep, axis=-1).astype(jnp.int32)
-        s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
-        q = hdot(L, v * (s_inv * keep)[..., None, :])
-        pinv_r = v * (s_inv * keep)[..., None, :]
-        return q, pinv_r, rank
     u, s, vt = jnp.linalg.svd(L, full_matrices=False)
     tol = _rank_tol(s, R, K)
     keep = (s > tol).astype(L.dtype)
@@ -196,6 +179,9 @@ def cca_align(
     La = _masked_center_cols(L_a, row_mask)
     Lb = _masked_center_cols(L_b, row_mask)
 
+    if method == "gram":
+        return _cca_align_gram(La, Lb)
+
     # NOTE: stacking La/Lb into one eigensolver launch (jnp.stack ->
     # single batched_eigh) was tried and reverted: ~5% projected gain,
     # but the resulting fit program reproducibly crashed/hung the remote
@@ -214,12 +200,75 @@ def cca_align(
     m_b = hdot(pinv_rb, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
     corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
 
-    if method == "gram":
-        pinv_ma = _fast_masked_pinv(m_a, col_mask)
-        pinv_mb = _fast_masked_pinv(m_b, col_mask)
+    pinv_ma = masked_pinv(m_a)
+    pinv_mb = masked_pinv(m_b)
+    proj_b_to_a = hdot(m_b, pinv_ma)
+    proj_a_to_b = hdot(m_a, pinv_mb)
+    return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
+
+
+def _cca_align_gram(La: jax.Array, Lb: jax.Array) -> CCAAlignment:
+    """Gram-path CCA on pre-centered latents: one tall read, all-small algebra.
+
+    Equivalent math to the q-materializing path (q = L v diag(1/s), then
+    g = q_a^T q_b) but q — a (..., R, K) tensor as big as L itself — is
+    never formed: with W = v diag(1/s)|_keep,
+
+        q_a^T q_b = W_a^T (La^T Lb) W_b,
+
+    so ONE Gram of the concatenation [La | Lb] yields La^T La, Lb^T Lb
+    and the cross-gram in a single pass over the tall data, and every
+    subsequent product is (K, K)-sized. TPU rationale: K ~ 40 << 128
+    lanes, so each pass over a (..., R, K) tensor costs ~128/K of its
+    dense bytes in read bandwidth — the old path paid ~5 such passes
+    (two grams, two q writes + reads, one cross product), this one pays 1
+    (round-3 log). Accuracy matches the previous gram path to f32
+    roundoff (same conditioning: the Gram squaring is already accepted).
+    """
+    ka, kb = La.shape[-1], Lb.shape[-1]
+    R = La.shape[-2]
+    Lab = jnp.concatenate([La, Lb], axis=-1)  # (..., R, ka+kb)
+    G = hdot(Lab.swapaxes(-1, -2), Lab)
+    ga = G[..., :ka, :ka]
+    gb = G[..., ka:, ka:]
+    gx = G[..., :ka, ka:]
+
+    from cross_patient_speech_decoding_tpu.ops.jacobi import batched_eigh
+
+    def whiten(g, K):
+        w, v = batched_eigh(g)
+        s = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
+        v = v[..., ::-1]
+        tol = _rank_tol(s, R, K)
+        keep = (s > tol).astype(g.dtype)
+        rank = jnp.sum(keep, axis=-1).astype(jnp.int32)
+        s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
+        return v * (s_inv * keep)[..., None, :], rank  # W = pinv(R)
+
+    if ka == kb:
+        # both whitening eighs in ONE eigensolver launch: the Pallas
+        # Jacobi kernel's per-launch cost amortizes ~1.25x better at
+        # doubled batch (13.8 ms vs 2 x 8.66 ms at bench shapes,
+        # round-3 log); results are bit-identical to two launches
+        w_ab, rank_ab = whiten(jnp.stack([ga, gb], axis=0), ka)
+        w_a, w_b = w_ab[0], w_ab[1]
+        rank_a, rank_b = rank_ab[0], rank_ab[1]
     else:
-        pinv_ma = masked_pinv(m_a)
-        pinv_mb = masked_pinv(m_b)
+        w_a, rank_a = whiten(ga, ka)
+        w_b, rank_b = whiten(gb, kb)
+    d = jnp.minimum(rank_a, rank_b)
+
+    g = hdot(w_a.swapaxes(-1, -2), hdot(gx, w_b))  # == q_a^T q_b
+    u, s, vt = _svd_small(g, "gram")
+    D = s.shape[-1]  # = min(ka, kb)
+
+    col_mask = (jnp.arange(D) < d[..., None]).astype(La.dtype)
+    m_a = hdot(w_a, u[..., :, :D]) * col_mask[..., None, :]
+    m_b = hdot(w_b, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
+    corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
+
+    pinv_ma = _fast_masked_pinv(m_a, col_mask)
+    pinv_mb = _fast_masked_pinv(m_b, col_mask)
     proj_b_to_a = hdot(m_b, pinv_ma)
     proj_a_to_b = hdot(m_a, pinv_mb)
     return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
@@ -246,8 +295,8 @@ def cnd_avg(
         classes; counts is (n_classes,) valid-trial counts per class.
     """
     lead = class_ids.shape[:-1]
-    N = class_ids.shape[-1]
-    rest = data.shape[len(lead) + 1 :]
+    nlead = len(lead)
+    rest = data.shape[nlead + 1 :]
     w = (
         jnp.ones(class_ids.shape, data.dtype)
         if sample_mask is None
@@ -255,13 +304,24 @@ def cnd_avg(
     )
     # one-hot matmul instead of scatter-add: the segment reduction becomes
     # an MXU matmul (~2x faster than segment_sum on TPU at these shapes);
-    # batched natively over leading dims
+    # batched natively over leading dims. The trial axis is contracted
+    # DIRECTLY on the (..., N, *rest) layout — flattening rest into one
+    # minor axis first forces a tiled-layout relayout copy of the whole
+    # data array when rest isn't lane-aligned (measured 16% of cnd_avg
+    # time at bench shapes, round-3 log).
     oh = jax.nn.one_hot(class_ids, n_classes, dtype=data.dtype) * w[..., None]
-    flat = data.reshape(lead + (N, -1))
-    sums = hdot(oh.swapaxes(-1, -2), flat)
+    batch_dims = tuple(range(nlead))
+    sums = jax.lax.dot_general(
+        oh,
+        data,
+        (((nlead,), (nlead,)), (batch_dims, batch_dims)),
+        precision=HIGHEST,
+    )  # (lead..., n_classes, *rest)
     counts = jnp.sum(oh, axis=-2)
-    avg = sums / jnp.maximum(counts, 1.0)[..., None]
-    return avg.reshape(lead + (n_classes,) + rest), counts
+    avg = sums / jnp.maximum(counts, 1.0).reshape(
+        lead + (n_classes,) + (1,) * len(rest)
+    )
+    return avg, counts
 
 
 class FittedAligner(NamedTuple):
@@ -280,6 +340,7 @@ def fit_cca_aligner(
     mask_a: jax.Array | None = None,
     mask_b: jax.Array | None = None,
     method: str = "gram",
+    t_len: int | None = None,
 ) -> FittedAligner:
     """Fit class-averaged CCA alignment (reference AlignCCA type='class').
 
@@ -295,19 +356,36 @@ def fit_cca_aligner(
     Args:
         X_a: (..., Na, T, Ka) target-latent trials (leading batch dims are
             batched natively — preferred over vmap for the Pallas path).
-        X_b: (..., Nb, T, Kb) source-latent trials.
+            With ``t_len`` set, the FLAT layout (..., Na, T*Ka) instead.
+        X_b: (..., Nb, T, Kb) source-latent trials (or (..., Nb, T*Kb)).
         ids_a, ids_b: (..., N) per-trial compact class ids.
         n_classes: static class-universe size.
         mask_a, mask_b: optional per-trial validity masks (for fold subsets).
+        t_len: pass T to accept trials in the FLAT (..., N, T*K) layout.
+            TPU lane tiles are 128 wide, so a trailing latent dim K << 128
+            (e.g. 40) wastes ~128/K of read bandwidth on every pass over
+            the trial tensor; the flat layout keeps the big class-average
+            reduction dense and defers the lane-padded (C*T, K) layout to
+            the small averaged matrix (measured ~1.5x whole-fit speedup at
+            bench shapes, round-3 log). Use it when trials already live
+            flat (the production decoders flatten latents for the
+            classifier anyway).
     """
+    if t_len is None:
+        T = X_a.shape[-2]
+        ka, kb = X_a.shape[-1], X_b.shape[-1]
+    else:
+        T = t_len
+        ka, kb = X_a.shape[-1] // T, X_b.shape[-1] // T
     avg_a, cnt_a = cnd_avg(X_a, ids_a, n_classes, mask_a)
     avg_b, cnt_b = cnd_avg(X_b, ids_b, n_classes, mask_b)
     shared = ((cnt_a > 0) & (cnt_b > 0)).astype(X_a.dtype)
 
     lead = ids_a.shape[:-1]
-    T = X_a.shape[-2]
-    L_a = avg_a.reshape(lead + (n_classes * T, X_a.shape[-1]))
-    L_b = avg_b.reshape(lead + (n_classes * T, X_b.shape[-1]))
+    # identical row order for both layouts: (C, T, K) and (C, T*K) are the
+    # same row-major data, so folding classes*time into rows is one reshape
+    L_a = avg_a.reshape(lead + (n_classes * T, ka))
+    L_b = avg_b.reshape(lead + (n_classes * T, kb))
     row_mask = jnp.repeat(shared, T, axis=-1)
 
     alignment = cca_align(L_a, L_b, row_mask, method)

@@ -299,7 +299,15 @@ def jacobi_eigh_pallas(A: jax.Array, sweeps: int = 8, block: int = 64,
         ],
         input_output_aliases={2: 0, 3: 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the default 16 MB scoped-vmem budget rejects this kernel at
+            # larger total batches (observed: Bp=256/K=40 charged 17.08M
+            # and 500'd the compile helper; BB=128 measured 19.95M) — the
+            # compiler's stack accounting is super-linear in ways we can't
+            # predict (double-buffered A/V in+out, scratch, rotation
+            # intermediates + bf16 splits). Budget a flat 64 MB: v5e VMEM
+            # is 128 MB and this kernel owns the core while it runs.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )

@@ -150,6 +150,40 @@ def test_fit_cca_aligner_end_to_end_vs_oracle():
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_fit_cca_aligner_flat_layout_matches_unflat():
+    """t_len flat path: (N, T*K) trials give bit-equal math to (N, T, K).
+
+    The flat layout exists for TPU lane density (K << 128 pads reads
+    ~128/K); the averaged matrices and everything downstream are
+    identical, so results must agree to f32 tolerance.
+    """
+    ds = make_synthetic_patients(seed=11, n_patients=2, latent_dim=5,
+                                 channels=(6, 8), noise=0.05,
+                                 trials_per_class=8, T=20)
+    X_a, X_b = ds.X
+    y_a, y_b = ds.class_ids
+    T = X_a.shape[1]
+
+    ref = fit_cca_aligner(
+        jnp.asarray(X_a), jnp.asarray(X_b),
+        jnp.asarray(y_a, jnp.int32), jnp.asarray(y_b, jnp.int32),
+        ds.n_classes,
+    )
+    flat = fit_cca_aligner(
+        jnp.asarray(X_a.reshape(X_a.shape[0], -1)),
+        jnp.asarray(X_b.reshape(X_b.shape[0], -1)),
+        jnp.asarray(y_a, jnp.int32), jnp.asarray(y_b, jnp.int32),
+        ds.n_classes, t_len=T,
+    )
+    assert int(flat.alignment.d) == int(ref.alignment.d)
+    np.testing.assert_allclose(
+        np.asarray(flat.alignment.canon_corrs),
+        np.asarray(ref.alignment.canon_corrs), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(flat.alignment.proj_b_to_a),
+        np.asarray(ref.alignment.proj_b_to_a), atol=1e-4)
+
+
 def test_cca_vmap_over_pairs():
     """Many patient-pair alignments in one launch (the bench surface)."""
     pairs = [_latents(10 + i) for i in range(5)]
