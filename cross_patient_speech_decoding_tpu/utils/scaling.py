@@ -26,10 +26,22 @@ def log_linear_fit(trials: np.ndarray, per: np.ndarray):
     ssr = np.sum((ly - pred) ** 2)
     sst = np.sum((ly - ly.mean()) ** 2)
     r = np.sqrt(max(0.0, 1.0 - ssr / max(sst, 1e-12))) * np.sign(slope)
+    # two-sided p-value for slope != 0 (scipy.stats.linregress semantics;
+    # the supp_fig_18/19 analyses report it alongside slope/r)
+    n = lx.size
+    if n > 2 and sst > 1e-300:
+        from scipy.special import stdtr
+
+        se = np.sqrt(ssr / (n - 2) / np.sum((lx - lx.mean()) ** 2))
+        tstat = slope / max(se, 1e-300)
+        p = float(np.clip(2.0 * stdtr(n - 2, -abs(tstat)), 0.0, 1.0))
+    else:
+        p = float("nan")
     return {
         "slope": float(slope),
         "intercept": float(intercept),
         "r": float(r),
+        "p_value": p,
         "predict": lambda t: np.exp(slope * np.log(t) + intercept),
     }
 

@@ -4,6 +4,7 @@ scaling analysis, datamodule-equivalent fold prep."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy import stats as sp_stats
 
 from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
 from cross_patient_speech_decoding_tpu.data.datamodules import (
@@ -108,6 +109,13 @@ def test_log_linear_scaling_extrapolation():
     np.testing.assert_allclose(120.0 * t25 ** -0.35, 25.0, rtol=1e-6)
     # non-improving curve -> inf
     assert trials_to_target_per(trials, np.full(5, 50.0)) == float("inf")
+    # slope p-value matches scipy.stats.linregress (supp_fig_18/19 report it)
+    rng = np.random.default_rng(3)
+    noisy = per * np.exp(0.05 * rng.normal(size=per.shape))
+    fit_n = log_linear_fit(trials, noisy)
+    ref = sp_stats.linregress(np.log(trials), np.log(noisy))
+    np.testing.assert_allclose(fit_n["p_value"], ref.pvalue, rtol=1e-9)
+    np.testing.assert_allclose(fit_n["r"], ref.rvalue, rtol=1e-9)
 
 
 def test_simple_folds_structure():
