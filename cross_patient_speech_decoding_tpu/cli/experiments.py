@@ -150,6 +150,8 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     tar, cross, n_y, n_a = _patients_from_config(
         cfg.data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type,
         cfg.seed, cfg.random_data,
+        trials_per_class=cfg.synth_trials,
+        n_patients=cfg.synth_patients, T=cfg.synth_T,
     )
     rng_ctl = np.random.default_rng(cfg.seed + 777)
     if cfg.chance:

@@ -139,12 +139,24 @@ def kernel_classifier_fit(
         )
 
     Y = 2.0 * jax.nn.one_hot(y, n_classes, dtype=dtype) - 1.0
-    Y = Y * w[:, None]
 
-    A = w[:, None] * K + lam * jnp.eye(N, dtype=dtype)
-    # General (non-symmetric after row weighting) solve; LU is fine and
-    # batches well under vmap.
-    dual = jnp.linalg.solve(A, Y)
+    # Solve (W K + lam I) D = W Y via the SYMMETRIC form: with V = W^1/2,
+    #   (W K + lam I) = V (V K V + lam I) V^-1   (exact for singular W too)
+    # so D = V S where (V K V + lam I) S = V Y. Rows with w_i = 0 give
+    # D_i = 0 exactly (V zeroes them), matching the masked-sample contract.
+    # Cholesky on the SPD system instead of LU on the row-weighted one:
+    # the TPU runtime's batched LU crashes the worker outright at
+    # production scale under a fold vmap (observed at (20, 1080, 1080),
+    # round-3 log) and the SPD factorization is faster anyway.
+    ws = jnp.sqrt(w)
+    M = ws[:, None] * K * ws[None, :] + lam * jnp.eye(N, dtype=dtype)
+    rhs = ws[:, None] * Y
+    L = jnp.linalg.cholesky(M)
+    z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    S = jax.scipy.linalg.solve_triangular(
+        L.swapaxes(-1, -2), z, lower=False
+    )
+    dual = ws[:, None] * S
     return KernelClassifier(X_train=X, dual_coef=dual, gamma=gamma)
 
 

@@ -108,6 +108,11 @@ class SVMDecodeConfig:
     surrogate: str = "none"  # none | tme | shuffle (supp_fig_11 controls)
     chance: bool = False  # label-shuffle chance decoding
     fold_batch: int = 20
+    # synthetic-data scale (data='synthetic' only): patients / trial length
+    # / trials-per-class — reference scale is 8 patients, T=200
+    synth_patients: int = 4
+    synth_T: int = 40
+    synth_trials: int = 15
     seed: int = 0
     out: str = "results/svm_decode.pkl"
 
