@@ -222,19 +222,37 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
         return np.stack(all_accs)
 
     decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
-    for it in range(len(all_accs), cfg.n_iter):
-        tr, te = repeated_stratified_kfold_masks(
-            y_host, cfg.n_folds, 1, seed=cfg.seed + it
-        )
-        accs = np.asarray(decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te)))
-        all_accs.append(accs)
-        append_results_pkl(cfg.out, accs, params=vars(cfg))
-        if verbose:
-            print(
-                f"iter {it}: balanced acc {accs.mean():.3f} "
-                f"(chance {1.0 / n_y:.3f})",
-                flush=True,
+    # iter_batch > 1 stacks several iterations' fold masks into one device
+    # call (folds are just rows to the decoder; per-iteration seeds and
+    # incremental persistence are unchanged, so resume stays per-iteration
+    # and results are bit-identical to the sequential loop). Amortizes the
+    # ~0.4 s/call tunnel sync over the chunk.
+    ib = max(1, cfg.iter_batch)
+    it = len(all_accs)
+    while it < cfg.n_iter:
+        k = min(ib, cfg.n_iter - it)
+        pairs = [
+            repeated_stratified_kfold_masks(
+                y_host, cfg.n_folds, 1, seed=cfg.seed + it + j
             )
+            for j in range(k)
+        ]
+        tr = np.concatenate([p[0] for p in pairs], axis=0)
+        te = np.concatenate([p[1] for p in pairs], axis=0)
+        accs_all = np.asarray(
+            decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te))
+        )
+        for j in range(k):
+            accs = accs_all[j * cfg.n_folds : (j + 1) * cfg.n_folds]
+            all_accs.append(accs)
+            append_results_pkl(cfg.out, accs, params=vars(cfg))
+            if verbose:
+                print(
+                    f"iter {it + j}: balanced acc {accs.mean():.3f} "
+                    f"(chance {1.0 / n_y:.3f})",
+                    flush=True,
+                )
+        it += k
     return np.stack(all_accs)
 
 

@@ -126,8 +126,20 @@ def jacobi_eigh(A: jax.Array, sweeps: int = 8):
 def batched_eigh(A: jax.Array, sweeps: int = 8):
     """eigh dispatch: Pallas Jacobi on TPU (faster for many small
     matrices; measured crossover vs XLA eigh is ~K=64-120 on v5e),
-    LAPACK-backed ``jnp.linalg.eigh`` elsewhere (exact)."""
-    if jax.default_backend() == "tpu" and A.shape[-1] <= 64:
+    LAPACK-backed ``jnp.linalg.eigh`` elsewhere (exact).
+
+    The Pallas path requires a real NATIVE batch (>= 16 flattened): the
+    kernel pads its batch tile to 64, so a trace-time batch of 1-2 — which
+    is what it sees under a fold/trial vmap — wastes ~32x the work AND
+    serializes across the vmap dim (TPU grids run sequentially; vmap of a
+    pallas_call just prepends a grid axis). Small batches go to XLA's
+    eigh, whose batching rule composes with vmap natively (measured: the
+    20-fold decode program's alignment stage runs 4.6x faster through XLA
+    eigh than through the vmapped kernel — 44 vs 204 ms warm — and the
+    whole fold program 3.2x, round-3 log).
+    """
+    lead = int(np.prod(A.shape[:-2])) if A.ndim > 2 else 1
+    if jax.default_backend() == "tpu" and A.shape[-1] <= 64 and lead >= 16:
         return jacobi_eigh_pallas(A, sweeps=sweeps)
     return jnp.linalg.eigh(A)
 

@@ -108,6 +108,9 @@ class SVMDecodeConfig:
     surrogate: str = "none"  # none | tme | shuffle (supp_fig_11 controls)
     chance: bool = False  # label-shuffle chance decoding
     fold_batch: int = 20
+    # iterations per device call (stacked as extra fold rows; per-iteration
+    # seeds/persistence unchanged — amortizes the tunnel sync per call)
+    iter_batch: int = 1
     # synthetic-data scale (data='synthetic' only): patients / trial length
     # / trials-per-class — reference scale is 8 patients, T=200
     synth_patients: int = 4

@@ -39,6 +39,20 @@ def test_svm_decode_and_chance_control(tmp_path):
     assert (tmp_path / "a.pkl").exists()
 
 
+def test_svm_decode_iter_batch_matches_sequential(tmp_path):
+    """iter_batch stacks iterations into one device call; results must be
+    identical to the sequential loop (same per-iteration seeds)."""
+    base = dict(n_iter=3, n_folds=2, fold_batch=6, max_k=10, seed=1)
+    seq = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "seq.pkl"), **base), verbose=False
+    )
+    bat = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "bat.pkl"), iter_batch=2, **base),
+        verbose=False,
+    )
+    np.testing.assert_allclose(bat, seq, atol=1e-6)
+
+
 def test_svm_decode_shuffle_surrogate(tmp_path):
     cfg = SVMDecodeConfig(n_iter=1, n_folds=2, fold_batch=2, max_k=10,
                           surrogate="shuffle", out=str(tmp_path / "s.pkl"))
