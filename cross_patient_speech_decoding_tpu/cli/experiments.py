@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
+from cross_patient_speech_decoding_tpu.data import (
+    make_synthetic_patients_device,
+)
 from cross_patient_speech_decoding_tpu.data.loaders import (
     append_results_pkl,
     decoding_data_from_dict,
@@ -86,11 +88,12 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
     drivers key channel maps and array dimensions by these names)."""
     if data == "synthetic":
         chans = (96, 111, 80, 64, 128, 72, 56, 104)[:n_patients]
-        ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
-                                     n_classes=9,
-                                     trials_per_class=trials_per_class, T=T,
-                                     channels=chans,
-                                     latent_dim=10, noise=noise)
+        # device-side generation: at reference scale the host twin costs
+        # ~25 s of single-core numpy + a ~150 MB upload through the tunnel
+        ds = make_synthetic_patients_device(
+            seed=seed, n_patients=n_patients, n_classes=9,
+            trials_per_class=trials_per_class, T=T, channels=chans,
+            latent_dim=10, noise=noise)
         Xs = ds.X
         ys = ds.y_first
         aligns = ds.y_seq
@@ -118,11 +121,10 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
 def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 72),
                    vocab=9, seq_len=3):
     """Synthetic CTC dataset: (X, labels(1..9), input_lens, label_lens) per pt."""
-    ds = make_synthetic_patients(seed=seed, n_patients=n_patients,
-                                 n_classes=min(27, vocab**2),
-                                 trials_per_class=max(1, n_trials // 27),
-                                 T=T, channels=channels, latent_dim=12,
-                                 noise=0.5, seq_len=seq_len)
+    ds = make_synthetic_patients_device(
+        seed=seed, n_patients=n_patients, n_classes=min(27, vocab**2),
+        trials_per_class=max(1, n_trials // 27), T=T, channels=channels,
+        latent_dim=12, noise=0.5, seq_len=seq_len)
     out = []
     for p in range(n_patients):
         n = len(ds.X[p])
@@ -266,10 +268,9 @@ def _seq2seq_arrays(cfg: TrainSeq2SeqConfig):
     and pooled patients carry (X, y_full, y_full).
     """
     if cfg.data == "synthetic":
-        ds = make_synthetic_patients(seed=cfg.seed, n_patients=3, n_classes=9,
-                                     trials_per_class=12, T=60,
-                                     channels=(64, 72, 56), latent_dim=10,
-                                     noise=0.5)
+        ds = make_synthetic_patients_device(
+            seed=cfg.seed, n_patients=3, n_classes=9, trials_per_class=12,
+            T=60, channels=(64, 72, 56), latent_dim=10, noise=0.5)
         return list(ds.X), [np.asarray(y) for y in ds.y_seq]
 
     pt_data = load_pkl(cfg.data)

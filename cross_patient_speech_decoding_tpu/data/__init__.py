@@ -3,4 +3,5 @@
 from cross_patient_speech_decoding_tpu.data.synthetic import (
     SyntheticDataset,
     make_synthetic_patients,
+    make_synthetic_patients_device,
 )

@@ -274,3 +274,44 @@ def test_augmentations_shapes_and_semantics():
     crops = time_jitter_windows(x, 5, 20, (-2, 0, 2))
     assert crops.shape == (3, 12, 20, 5)
     np.testing.assert_allclose(np.asarray(crops[1]), np.asarray(x[:, 5:25]))
+
+
+def test_synthetic_device_generator_structure():
+    """Device twin of make_synthetic_patients: same structure contract
+    (shapes, labels, class ids, recoverable shared latent structure)."""
+    import numpy as np
+    from cross_patient_speech_decoding_tpu.data import (
+        make_synthetic_patients,
+        make_synthetic_patients_device,
+    )
+
+    kw = dict(seed=3, n_patients=3, n_classes=5, trials_per_class=6,
+              T=12, channels=(10, 14, 8), latent_dim=4, noise=0.1)
+    host = make_synthetic_patients(**kw)
+    dev = make_synthetic_patients_device(**kw)
+
+    assert dev.n_classes == host.n_classes
+    np.testing.assert_array_equal(dev.class_universe, host.class_universe)
+    for p in range(3):
+        assert dev.X[p].shape == host.X[p].shape
+        assert np.asarray(dev.X[p]).dtype == np.float32
+        # every class appears exactly trials_per_class times
+        np.testing.assert_array_equal(
+            np.bincount(np.asarray(dev.class_ids[p]), minlength=5),
+            np.full(5, 6),
+        )
+        # y_seq rows match the class-id -> sequence table
+        seq_table = {tuple(host.y_seq[0][np.asarray(host.class_ids[0]) == c][0])
+                     for c in range(5)}
+        assert {tuple(r) for r in dev.y_seq[p]} <= seq_table
+    # shared latent structure is recoverable: class-averaged trials of one
+    # patient correlate with its ground-truth latent readout
+    X0 = np.asarray(dev.X[0], np.float64)
+    ids0 = np.asarray(dev.class_ids[0])
+    lat = np.asarray(dev.latent, np.float64)
+    mix = np.asarray(dev.mixings[0], np.float64)
+    want = lat @ mix  # (C, T, ch) noiseless signal
+    got = np.stack([X0[ids0 == c].mean(0) for c in range(dev.n_classes)])
+    # correlation between vectorized signals should be near 1
+    r = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert r > 0.95
