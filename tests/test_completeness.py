@@ -204,3 +204,44 @@ def test_bagged_decode_fold_at_least_single_model():
         float(acc_bag), float(acc_single),
     )
     assert float(acc_bag) > 1.0 / len(uniq)  # above chance
+
+
+def test_kernel_classifier_cholesky_solve_matches_lu_oracle():
+    """The SPD-form solve equals the literal (W K + lam I) D = W Y system
+    (float64 numpy LU), including exact-zero dual rows for masked samples.
+    The symmetric rewrite exists because the TPU runtime's batched LU
+    crashes the worker at production scale (round-3 log)."""
+    from cross_patient_speech_decoding_tpu.ops.classifiers import (
+        balanced_sample_weights,
+        kernel_classifier_fit,
+        rbf_kernel,
+        scale_gamma,
+    )
+
+    rng = np.random.default_rng(5)
+    N, F, C = 40, 7, 4
+    X = rng.normal(size=(N, F)).astype(np.float32)
+    y = rng.integers(0, C, N).astype(np.int32)
+    mask = (rng.uniform(size=N) > 0.25).astype(np.float32)
+    lam = 0.7
+
+    clf = kernel_classifier_fit(
+        jnp.asarray(X), jnp.asarray(y), C, lam=lam,
+        sample_mask=jnp.asarray(mask),
+    )
+
+    gamma = float(scale_gamma(jnp.asarray(X), jnp.asarray(mask)))
+    K = np.asarray(
+        rbf_kernel(jnp.asarray(X), jnp.asarray(X), gamma), np.float64
+    )
+    w = np.asarray(
+        balanced_sample_weights(jnp.asarray(y), C, jnp.asarray(mask)),
+        np.float64,
+    )
+    Y = 2.0 * np.eye(C)[y] - 1.0
+    want = np.linalg.solve(w[:, None] * K + lam * np.eye(N), w[:, None] * Y)
+
+    got = np.asarray(clf.dual_coef, np.float64)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    # masked samples contribute exactly zero dual rows
+    np.testing.assert_array_equal(got[mask == 0], 0.0)
