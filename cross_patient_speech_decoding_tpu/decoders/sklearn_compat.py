@@ -140,6 +140,9 @@ class AlignCCA(BaseEstimator):
             jnp.asarray(ids_a),
             jnp.asarray(ids_b),
             n_cls,
+            # reference-compat surface: user data of unknown rank -> the
+            # rank-deficiency-robust eigh path, not the chol fast path
+            method="gram",
         )
         self.canon_corrs = np.asarray(self._aligner.alignment.canon_corrs)[
             : int(self._aligner.alignment.d)

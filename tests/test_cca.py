@@ -184,6 +184,63 @@ def test_fit_cca_aligner_flat_layout_matches_unflat():
         np.asarray(ref.alignment.proj_b_to_a), atol=1e-4)
 
 
+def test_cca_chol_matches_oracle_full_rank():
+    """method='chol' (Cholesky whitening): factorization-invariant outputs
+    must match the float64 QR oracle on full-rank data."""
+    La, Lb = _latents(21)
+    m_a, m_b, s_oracle = oracle_cca_align(La.T.copy(), Lb.T.copy())
+    rng = np.random.default_rng(22)
+    X_b = rng.normal(size=(30, Lb.shape[1]))
+    want = oracle_aligned_transform(X_b, m_a, m_b)
+
+    res = cca_align(jnp.asarray(La), jnp.asarray(Lb), method="chol")
+    d = int(res.d)
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res.canon_corrs[:d]), s_oracle,
+                               atol=2e-4)
+    got = X_b @ np.asarray(res.proj_b_to_a).astype(np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_cca_chol_masked_trailing_dims():
+    """chol envelope: exact-zero masked trailing columns (the PCA
+    variance-mask production case) are identity-padded exactly — results
+    equal the oracle on the truncated matrices, masked dims exact zero."""
+    La, Lb = _latents(23, ka=6, kb=8, rank=4)
+    La_m = np.concatenate([La[:, :4], np.zeros((La.shape[0], 2))], axis=1)
+    Lb_m = np.concatenate([Lb[:, :5], np.zeros((Lb.shape[0], 3))], axis=1)
+
+    m_a, m_b, s_oracle = oracle_cca_align(La[:, :4].T.copy(), Lb[:, :5].T.copy())
+    rng = np.random.default_rng(24)
+    X_b = rng.normal(size=(20, 5))
+    want = oracle_aligned_transform(X_b, m_a, m_b)
+
+    res = cca_align(jnp.asarray(La_m), jnp.asarray(Lb_m), method="chol")
+    d = int(res.d)
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res.canon_corrs[:d]), s_oracle,
+                               atol=2e-4)
+    X_b_m = np.concatenate([X_b, np.zeros((20, 3))], axis=1)
+    got = X_b_m @ np.asarray(res.proj_b_to_a).astype(np.float64)
+    np.testing.assert_allclose(got[:, :4], want, atol=2e-4)
+    np.testing.assert_allclose(got[:, 4:], 0.0, atol=1e-6)
+
+
+def test_cca_chol_agrees_with_gram_batched():
+    """chol vs gram whitening on a batched equal-width pair (the bench /
+    fold-program shape class, exercising the stacked-factorization path)."""
+    pairs = [_latents(30 + i, ka=8, kb=8, rank=6) for i in range(4)]
+    La = jnp.asarray(np.stack([p[0] for p in pairs]))
+    Lb = jnp.asarray(np.stack([p[1] for p in pairs]))
+    res_g = cca_align(La, Lb, method="gram")
+    res_c = cca_align(La, Lb, method="chol")
+    np.testing.assert_array_equal(np.asarray(res_c.d), np.asarray(res_g.d))
+    np.testing.assert_allclose(np.asarray(res_c.canon_corrs),
+                               np.asarray(res_g.canon_corrs), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_c.proj_b_to_a),
+                               np.asarray(res_g.proj_b_to_a), atol=2e-3)
+
+
 def test_cca_vmap_over_pairs():
     """Many patient-pair alignments in one launch (the bench surface)."""
     pairs = [_latents(10 + i) for i in range(5)]
