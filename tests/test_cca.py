@@ -241,6 +241,26 @@ def test_cca_chol_agrees_with_gram_batched():
                                np.asarray(res_g.proj_b_to_a), atol=2e-3)
 
 
+def test_cca_gram_handles_duplicated_columns():
+    """Non-axis-aligned rank deficiency (duplicated channel -> a latent
+    column repeated) is OUTSIDE the chol envelope but inside gram's:
+    gram's eigenvalue masking must detect the true rank and match the
+    float64 oracle on the independent columns. Pins the policy that
+    user data of unknown rank (sklearn AlignCCA shim) uses gram."""
+    La, Lb = _latents(40, ka=6, kb=7, rank=4)
+    # duplicate a column of b: rank(Lb_dup) == kb, deficiency is in a
+    # rotated direction, not a zero column
+    Lb_dup = np.concatenate([Lb, Lb[:, 2:3]], axis=1)
+
+    m_a, m_b, s_oracle = oracle_cca_align(La.T.copy(), Lb.T.copy())
+    res = cca_align(jnp.asarray(La), jnp.asarray(Lb_dup), method="gram")
+    d = int(res.d)
+    # gram must NOT report a spurious extra canonical direction
+    assert d == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res.canon_corrs[:d]), s_oracle,
+                               atol=5e-4)
+
+
 def test_cca_vmap_over_pairs():
     """Many patient-pair alignments in one launch (the bench surface)."""
     pairs = [_latents(10 + i) for i in range(5)]

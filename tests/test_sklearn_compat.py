@@ -58,6 +58,22 @@ def test_align_cca_class_surface(data):
     assert a.canon_corrs[0] > 0.8  # shared latent -> strong top correlation
 
 
+def test_align_cca_duplicated_channel_user_data(data):
+    """The shim serves raw user data of unknown rank: a duplicated
+    channel (non-axis-aligned rank deficiency, outside the chol fast
+    path's envelope) must still produce a clean alignment — pins the
+    shim's method='gram' choice."""
+    ds, _, _ = data
+    Xa = ds.X[0][:, :, :8]
+    Xb = np.concatenate([ds.X[1][:, :, :8], ds.X[1][:, :, 3:4]], axis=2)
+    a = AlignCCA().fit(Xa, Xb, ds.y_seq[0], ds.y_seq[1])
+    assert np.all(np.isfinite(a.canon_corrs))
+    assert a.canon_corrs[0] > 0.8
+    out = a.transform(Xb)
+    assert np.all(np.isfinite(out))
+    assert out.shape == (Xb.shape[0], Xb.shape[1], 8)
+
+
 @pytest.mark.parametrize(
     "cls,kwargs",
     [
