@@ -226,6 +226,11 @@ def cca_align(
         L_b: (..., R, Kb) latent dynamics for B (same row layout/mask).
         row_mask: optional (..., R) {0,1} validity mask shared by both
             sides (classes present in both datasets).
+        method: 'svd' (thin-SVD orthonormalization, maximal robustness),
+            'gram' (Gram-eigh whitening, rank-robust, ~1.5x faster),
+            or 'chol' (Gram-Cholesky whitening, fastest; exact only for
+            inputs full-rank within their column mask — see
+            :func:`_whiten_chol` for the envelope).
     """
     La = _masked_center_cols(L_a, row_mask)
     Lb = _masked_center_cols(L_b, row_mask)
