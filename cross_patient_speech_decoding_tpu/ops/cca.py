@@ -166,6 +166,13 @@ def _whiten_chol(g: jax.Array, R: int):
     non-axis-aligned way (e.g. duplicated channels before PCA): such
     directions are neither masked nor truncated here — use the eigh
     path (method='gram') or the SVD path for data of unknown rank.
+
+    Accuracy gradient: f32 triangular inversion loses ~eps*cond(G), so
+    canonical correlations drift ~1e-2 at cond ~1e6 where gram-eigh
+    (per-eigenvalue inversion) stays ~1e-5 (pinned in
+    test_cca_chol_ill_conditioned_envelope). Production PCA latents sit
+    at cond ~1e1-1e3 (the PCA eigenvalue ratio of kept components),
+    where all paths agree to f32 roundoff.
     """
     K = g.shape[-1]
     dg = jnp.diagonal(g, axis1=-2, axis2=-1)

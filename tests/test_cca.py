@@ -241,6 +241,29 @@ def test_cca_chol_agrees_with_gram_batched():
                                np.asarray(res_g.proj_b_to_a), atol=2e-3)
 
 
+def test_cca_chol_ill_conditioned_envelope():
+    """chol's accuracy gradient: f32 Cholesky whitening loses ~eps*cond
+    accuracy, so at Gram cond ~1e6 (1e3 column-scale spread) the corrs
+    drift ~1e-2 from the float64 oracle while gram-eigh stays ~1e-5
+    (per-eigenvalue inversion). Pins the documented envelope: rank and
+    coarse corrs survive; use 'gram' when cond is high and tight parity
+    matters."""
+    La, Lb = _latents(50)
+    scale = np.logspace(0, -3, La.shape[1])
+    La_s = (La * scale).astype(np.float64)
+    m_a, m_b, s_oracle = oracle_cca_align(La_s.T.copy(), Lb.T.copy())
+
+    res_c = cca_align(jnp.asarray(La_s, dtype=jnp.float32),
+                      jnp.asarray(Lb), method="chol")
+    res_g = cca_align(jnp.asarray(La_s, dtype=jnp.float32),
+                      jnp.asarray(Lb), method="gram")
+    assert int(res_c.d) == len(s_oracle)
+    np.testing.assert_allclose(np.asarray(res_c.canon_corrs[:3]),
+                               s_oracle[:3], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res_g.canon_corrs[:3]),
+                               s_oracle[:3], atol=1e-4)
+
+
 def test_cca_gram_handles_duplicated_columns():
     """Non-axis-aligned rank deficiency (duplicated channel -> a latent
     column repeated) is OUTSIDE the chol envelope but inside gram's:
