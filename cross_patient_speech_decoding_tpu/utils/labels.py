@@ -19,10 +19,35 @@ import numpy as np
 # reference alignment/alignment_utils.py:197.
 PHON_TO_ARTIC = np.array([0, 1, 1, 2, 2, 3, 3, 3, 4, 4], dtype=np.int32)
 
+# Articulator class names (1..4), as used by every figure notebook
+# (`figure_analyses/fig_2.ipynb` `artic_labels` cell).
+ARTIC_LABELS = np.array(["low", "high", "labial", "dorsal"])
+
 
 def phon_to_artic(phon: np.ndarray) -> np.ndarray:
     """Collapse phoneme labels (values 1-9) to articulator labels (1-4)."""
     return PHON_TO_ARTIC[np.asarray(phon, dtype=np.int64)]
+
+
+def artic_labels(artic: np.ndarray) -> np.ndarray:
+    """Articulator numbers (1-4) -> name strings (notebook
+    ``articic_nums2seq``, e.g. `supp/supp_fig_8.ipynb`)."""
+    return ARTIC_LABELS[np.asarray(artic, dtype=np.int64) - 1]
+
+
+def phon_seq_to_artic_str(phon_seq: np.ndarray) -> np.ndarray:
+    """Phoneme-sequence rows -> '_'-joined articulator-name strings
+    (notebook ``phon2artic_seq``): ``[2, 5, 1] -> 'high_labial_low'``."""
+    names = artic_labels(phon_to_artic(np.asarray(phon_seq)))
+    return np.array(["_".join(row) for row in np.atleast_2d(names)])
+
+
+def cv_structure(phon_seq: np.ndarray) -> np.ndarray:
+    """Syllable-structure class per sequence row: 'CVC' when the middle
+    phoneme is a vowel (token < 5), else 'VCV' (notebook ``labels2cv`` /
+    ``labels2cv_seq``, middle-character rule)."""
+    seq = np.atleast_2d(np.asarray(phon_seq, dtype=np.int64))
+    return np.where(seq[:, 1] < 5, "CVC", "VCV")
 
 
 def encode_label_sequences(labels: np.ndarray) -> np.ndarray:

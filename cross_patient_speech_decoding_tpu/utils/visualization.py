@@ -99,6 +99,98 @@ def plot_latent_trajectories_3d(latents, dims=(0, 1, 2), labels=None,
     return fig
 
 
+def map_to_channel_grid(data, chan_map):
+    """Scatter per-channel values onto a NaN-edged 2-D electrode map.
+
+    ``chan_map`` holds 1-based channel indices with NaN at unused grid
+    positions (the `{pt}_channelMap.mat` layout, reference
+    `scripts/aligned_decode_grid_subsample.py:26-30`); output cell (i, j)
+    is ``data[chan_map[i, j] - 1]`` or NaN. This is the indexing core of
+    the ``chan_disp`` helper redefined in every reference figure notebook
+    (e.g. `figure_analyses/supp/supp_fig_8.ipynb`).
+    """
+    chan_map = np.asarray(chan_map, dtype=np.float64)
+    data = np.asarray(data, dtype=np.float64)
+    flat = chan_map.ravel()
+    out = np.full(flat.shape, np.nan)
+    valid = ~np.isnan(flat)
+    out[valid] = data[flat[valid].astype(np.int64) - 1]
+    return out.reshape(chan_map.shape)
+
+
+def plot_channel_map(data, chan_map, title=None, label=None, clim=None,
+                     cmap="viridis", save_path=None):
+    """Electrode-grid heatmap of one value per channel (notebook
+    ``chan_disp``: clim defaults to mean ± 3 std over the data)."""
+    plt = _plt()
+    data = np.asarray(data, dtype=np.float64)
+    if clim is None:
+        m, s = np.nanmean(data), np.nanstd(data)
+        clim = (m - 3 * s, m + 3 * s)
+    grid = map_to_channel_grid(data, chan_map)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    im = ax.imshow(grid, cmap=cmap)
+    im.set_clim(*clim)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    if title:
+        ax.set_title(title)
+    cbar = fig.colorbar(im, ax=ax)
+    if label:
+        cbar.set_label(label)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_channel_map_seq(data, chan_map, t, t_ranges, row_labels,
+                         title=None, label=None, clim=None, cmap="viridis",
+                         save_path=None):
+    """Grid of electrode-map heatmaps: rows = conditions, columns =
+    time windows averaged over ``t in [t0, t1)`` (notebook
+    ``chan_disp_seq``; shared clim = mean ± 3 std over all data).
+
+    Args:
+        data: (n_rows, T, n_channels) per-condition time-resolved values.
+        t: (T,) time axis in seconds.
+        t_ranges: list of (t0, t1) half-open windows, one column each.
+        row_labels: names per condition row.
+    """
+    plt = _plt()
+    data = np.asarray(data, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    if clim is None:
+        m, s = np.nanmean(data), np.nanstd(data)
+        clim = (m - 3 * s, m + 3 * s)
+    n_rows, n_cols = len(row_labels), len(t_ranges)
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(3.0 * n_cols, 2.4 * n_rows),
+                             squeeze=False)
+    im = None
+    for j, lab in enumerate(row_labels):
+        for i, (t0, t1) in enumerate(t_ranges):
+            idx = np.where((t >= t0) & (t < t1))[0]
+            grid = map_to_channel_grid(data[j, idx].mean(axis=0), chan_map)
+            ax = axes[j][i]
+            im = ax.imshow(grid, cmap=cmap)
+            im.set_clim(*clim)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if i == 0:
+                ax.set_ylabel(lab, fontsize=8)
+            if j == 0:
+                ax.set_title(f"{t0} -> {t1}s", fontsize=8)
+    fig.subplots_adjust(right=0.8)
+    cbar = fig.colorbar(im, cax=fig.add_axes((0.84, 0.25, 0.015, 0.5)))
+    if label:
+        cbar.set_label(label)
+    if title:
+        fig.suptitle(title)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    return fig
+
+
 def plot_rdm(rdm, labels=None, title=None, cmap="viridis", save_path=None):
     """Representational-dissimilarity-matrix heatmap (fig_6 ``plot_rdm``,
     `figure_analyses/fig_6.ipynb` cell 15)."""

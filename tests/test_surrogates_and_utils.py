@@ -127,6 +127,60 @@ def test_visualization_smoke(tmp_path):
     assert (tmp_path / "1d.png").exists()
 
 
+def test_channel_map_grid_and_label_helpers(tmp_path):
+    from cross_patient_speech_decoding_tpu.utils.labels import (
+        artic_labels,
+        cv_structure,
+        phon_seq_to_artic_str,
+    )
+    from cross_patient_speech_decoding_tpu.utils.visualization import (
+        map_to_channel_grid,
+    )
+
+    # NaN-edged 1-based channel map, notebook chan_disp indexing
+    cmap = np.array([[np.nan, 1.0], [2.0, 3.0]])
+    data = np.array([10.0, 20.0, 30.0])
+    grid = map_to_channel_grid(data, cmap)
+    assert np.isnan(grid[0, 0])
+    np.testing.assert_allclose(grid[[0, 1, 1], [1, 0, 1]], [10, 20, 30])
+
+    np.testing.assert_array_equal(
+        artic_labels([1, 4]), ["low", "dorsal"]
+    )
+    # collapse map: phonemes {1,2}->low, {3,4}->high, {5,6,7}->labial,
+    # {8,9}->dorsal (reference alignment_utils.py:197)
+    assert phon_seq_to_artic_str(np.array([[2, 5, 9]]))[0] == (
+        "low_labial_dorsal"
+    )
+    assert phon_seq_to_artic_str(np.array([[3, 1, 8]]))[0] == (
+        "high_low_dorsal"
+    )
+    np.testing.assert_array_equal(
+        cv_structure(np.array([[5, 2, 5], [2, 5, 2]])), ["CVC", "VCV"]
+    )
+
+
+def test_channel_map_plots_smoke(tmp_path):
+    pytest.importorskip("matplotlib")
+    from cross_patient_speech_decoding_tpu.utils.visualization import (
+        plot_channel_map,
+        plot_channel_map_seq,
+    )
+
+    rng = np.random.default_rng(3)
+    cmap = np.full((4, 4), np.nan)
+    cmap[1:3, :] = np.arange(1, 9, dtype=np.float64).reshape(2, 4)
+    plot_channel_map(rng.normal(size=8), cmap, title="t", label="HG",
+                     save_path=tmp_path / "cm.png")
+    t = np.linspace(0, 1, 20)
+    data = rng.normal(size=(2, 20, 8))
+    plot_channel_map_seq(data, cmap, t, [(0.0, 0.5), (0.5, 1.0)],
+                         ["low", "high"], title="seq", label="HG",
+                         save_path=tmp_path / "cms.png")
+    assert (tmp_path / "cm.png").exists()
+    assert (tmp_path / "cms.png").exists()
+
+
 def test_min_neighbor_distance():
     from cross_patient_speech_decoding_tpu.data.subsample import (
         min_neighbor_distance,
