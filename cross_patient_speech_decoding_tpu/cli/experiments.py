@@ -66,7 +66,10 @@ def _build_patient_arrays(Xs, ys, aligns):
 
     pts = [
         PatientArrays(
-            X=jnp.asarray(np.asarray(X), jnp.float32),
+            # jnp.asarray handles numpy (file-backed) AND device arrays
+            # (synthetic generation) — np.asarray(X) here would round-trip
+            # device data through the ~30 MB/s tunnel
+            X=jnp.asarray(X, jnp.float32),
             y=jnp.asarray(to_class_ids(ye, y_uni)[0]),
             y_align=jnp.asarray(to_class_ids(ae, a_uni)[0]),
         )
@@ -130,7 +133,10 @@ def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 
         n = len(ds.X[p])
         out.append(
             (
-                np.asarray(ds.X[p], np.float32),
+                # X stays ON DEVICE (np.asarray here would round-trip the
+                # trial tensors through the tunnel); labels/lengths are
+                # tiny and host-side for rng permutation/split logic
+                jnp.asarray(ds.X[p], jnp.float32),
                 np.asarray(ds.y_seq[p], np.int32),
                 np.full(n, T, np.int32),
                 np.full(n, seq_len, np.int32),
@@ -615,23 +621,37 @@ def run_train_nn(cfg, verbose: bool = True):
         cross = ()
 
     # per-patient PCA latents + CCA alignment into the target space (the
-    # process_aligner flow, nn_models datamodules.py:515-573; fit once per
-    # run like the seq2seq driver — per-fold refits cost 20x for latents
-    # that change negligibly)
+    # process_aligner flow, nn_models datamodules.py:515-573). Source
+    # latents are fold-independent (all source data is training data,
+    # process_aligner gets each cross patient's full set); the TARGET
+    # PCA + every CCA fit are refit per fold on the fold's train rows
+    # only — the reference fits them "on each fold's training data"
+    # (datamodules.py:63-65, :471) and an all-rows fit would leak
+    # test-fold y_align labels into the pooled features.
     T = tar.X.shape[1]
-    lat_t = _transform_latents(
-        _fit_pca_latents(tar.X, cfg.n_comp, cfg.max_k), tar.X, cfg.max_k
-    )
-    feats = [lat_t.reshape(lat_t.shape[0], T, -1)]
-    labels = [tar.y]
-    for c in cross:
-        lat = _transform_latents(
+    cross_lats = [
+        _transform_latents(
             _fit_pca_latents(c.X, cfg.n_comp, cfg.max_k), c.X, cfg.max_k
         )
-        al = fit_cca_aligner(lat_t, lat, tar.y_align, c.y_align, n_a)
-        lat = transform_b_to_a(al, lat)
-        feats.append(lat.reshape(lat.shape[0], T, -1))
-        labels.append(c.y)
+        for c in cross
+    ]
+    cross_labels = [c.y for c in cross]
+
+    def fold_features(train_mask):
+        lat_t = _transform_latents(
+            _fit_pca_latents(tar.X, cfg.n_comp, cfg.max_k,
+                             sample_mask=train_mask),
+            tar.X, cfg.max_k,
+        )
+        feats = [lat_t.reshape(lat_t.shape[0], T, -1)]
+        for c, lat in zip(cross, cross_lats):
+            al = fit_cca_aligner(lat_t, lat, tar.y_align, c.y_align, n_a,
+                                 mask_a=train_mask)
+            lat = transform_b_to_a(al, lat)
+            feats.append(lat.reshape(lat.shape[0], T, -1))
+        return feats
+
+    labels = [tar.y] + cross_labels
 
     model = _make_nn_classifier(cfg, n_y)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
@@ -656,6 +676,7 @@ def run_train_nn(cfg, verbose: bool = True):
         for k in range(cfg.n_folds):
             tr_i = jnp.asarray(np.where(tr_m[k] > 0)[0])
             te_i = jnp.asarray(np.where(te_m[k] > 0)[0])
+            feats = fold_features(jnp.asarray(tr_m[k], jnp.float32))
             X_train = jnp.concatenate([feats[0][tr_i]] + feats[1:])
             y_train = jnp.concatenate([labels[0][tr_i]] + labels[1:])
             test_batch = (feats[0][te_i], labels[0][te_i])
@@ -878,7 +899,7 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
             al = fit_cca_aligner(lats[0], lat, idsj[0], idsj[i], len(uni))
             lat = transform_b_to_a(al, lat)
         y, il, ll = metas[i]
-        out.append((np.asarray(lat, np.float32), y, il, ll))
+        out.append((lat.astype(jnp.float32), y, il, ll))
     return out, max_k, None
 
 
@@ -946,14 +967,20 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True):
     after the rename) so stale results can never masquerade as this
     run's.
     """
+    if not out_path:
+        return []
     p = Path(out_path)
-    if not p.exists():
+    if not p.is_file():
         return []
     store = load_pkl(p)
     if not _same_run_config(store.get("params", {}), params):
+        # unique suffix: a second mismatch must never destroy the first
+        # set-aside file
         stale = p.with_name(p.name + ".stale")
-        if stale.exists():
-            stale.unlink()
+        n = 1
+        while stale.exists():
+            stale = p.with_name(f"{p.name}.stale{n}")
+            n += 1
         p.rename(stale)
         print(f"config mismatch: prior results moved to {stale}", flush=True)
         return []
@@ -1035,8 +1062,13 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
             ys = [y_t[tr_i]] + [d[1] for d in datasets[1:]]
             ils = [il_t[tr_i]] + [d[2] for d in datasets[1:]]
             lls = [ll_t[tr_i]] + [d[3] for d in datasets[1:]]
-            train_batch = tuple(
-                jnp.asarray(np.concatenate(a)) for a in (Xs, ys, ils, lls)
+            # X concat on device (synthetic X never leaves the chip);
+            # labels/lengths are host numpy
+            train_batch = (
+                jnp.concatenate([jnp.asarray(x) for x in Xs]),
+                jnp.asarray(np.concatenate(ys)),
+                jnp.asarray(np.concatenate(ils)),
+                jnp.asarray(np.concatenate(lls)),
             )
 
         test_batch = batch(te_i) if test is None else tuple(
@@ -1329,14 +1361,14 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
                 max(time.perf_counter() - t0 - sync_base, 0.0) / R * 1e3
             )
         result["p50_ms"] = float(np.percentile(samples, 50))
-        # an empirical p99 needs >= 100 samples; below that report the
-        # max (labeled as such) instead of a percentile that is
-        # effectively the max anyway
+        # max_ms is well-defined at any sample count (bench.py reads it
+        # unconditionally); an empirical p99 additionally needs >= 100
+        # samples — below that the tail is reported as the max
+        result["max_ms"] = float(np.max(samples))
         if cfg.per_step_samples >= 100:
             result["p99_ms"] = float(np.percentile(samples, 99))
             tail_label, tail_ms = "p99", result["p99_ms"]
         else:
-            result["max_ms"] = float(np.max(samples))
             tail_label, tail_ms = "max", result["max_ms"]
         result["samples_ms"] = np.asarray(samples)
         if verbose:

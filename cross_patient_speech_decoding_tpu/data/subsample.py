@@ -143,6 +143,8 @@ def poisson_disk_sample(positions: np.ndarray, radius: float,
                 active.remove(ai)
         if len(selected) > len(best):
             best = np.asarray(sorted(selected), np.int64)
+        if n_points is not None and len(best) >= n_points:
+            break  # budget reached: no later restart can beat it
     return best
 
 

@@ -319,6 +319,30 @@ def test_resume_ignores_other_configs_results(tmp_path):
     np.testing.assert_allclose(shared, solo)
 
 
+def test_stale_results_never_destroyed(tmp_path):
+    """Repeated config mismatches set each prior file aside under a UNIQUE
+    suffix — the second mismatch must not unlink the first .stale archive
+    (round-3 review finding) — and out='' skips the resume scan entirely
+    instead of treating Path('') as the cwd."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _completed_results,
+    )
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        append_results_pkl,
+    )
+
+    out = tmp_path / "r.pkl"
+    for i in range(3):
+        append_results_pkl(str(out), np.asarray([float(i)]),
+                           params={"cfg": i})
+        got = _completed_results(str(out), {"cfg": i + 100})  # mismatch
+        assert got == []
+    archived = sorted(p.name for p in tmp_path.glob("r.pkl.stale*"))
+    assert archived == ["r.pkl.stale", "r.pkl.stale1", "r.pkl.stale2"]
+
+    assert _completed_results("", {"cfg": 0}) == []
+
+
 def test_analyze_results_comparison(tmp_path):
     """cpsd analyze: fig_4/fig_5 statistics straight from driver result
     pickles, matching scipy on the same data."""

@@ -51,6 +51,32 @@ def test_jacobi_psd_rank_deficient():
     assert (w[:, :15] < 1e-4).all()  # null space found
 
 
+def test_pallas_heterogeneous_scale_batch_converges():
+    """Per-matrix convergence: a small-norm matrix batched with a 1e4x
+    larger near-diagonal batchmate must NOT exit the sweep loop on the
+    batchmate's converged (batch-dominant) off-diagonal mass. A
+    batch-global tolerance showed 300x recon-error loss on this exact
+    construction (round-3 review finding)."""
+    from cross_patient_speech_decoding_tpu.ops.jacobi import (
+        jacobi_eigh_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    K = 8
+    small = _sym(rng, 1, K)[0].astype(np.float32)
+    big = (1e4 * (np.diag(rng.uniform(1, 2, K))
+                  + 1e-6 * _sym(rng, 1, K)[0])).astype(np.float32)
+    A = np.stack([small, (big + big.T) / 2])
+    w, V = jacobi_eigh_pallas(jnp.asarray(A), block=2, interpret=True)
+    w, V = np.asarray(w), np.asarray(V)
+    for i in range(2):
+        rec = V[i] @ (w[i][:, None] * V[i].T)
+        scale = np.abs(np.linalg.eigvalsh(A[i].astype(np.float64))).max()
+        # old global-tol code: 2.3e-5 rel error on the small matrix;
+        # per-matrix tol: 1.1e-6 — 5e-6 splits them with 5x margin
+        np.testing.assert_allclose(rec, A[i], atol=5e-6 * scale)
+
+
 def test_pallas_kernel_matches_numpy_interpret():
     """The Pallas kernel body (v2 flat-matmul formulation) vs numpy eigh,
     in interpreter mode on the CPU backend — the TPU fallback would
