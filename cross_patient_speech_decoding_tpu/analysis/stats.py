@@ -426,6 +426,19 @@ def fdr_bh(pvals, *, alpha: float = 0.05, axis: int = -1):
     return reject, out
 
 
+def cohens_d(a, b) -> float:
+    """Cohen's d effect size with the pooled (n-1)-weighted standard
+    deviation — the fig_4 notebook's ``cohend`` helper (fig_4.ipynb,
+    effect-size cell)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n1, n2 = a.shape[-1], b.shape[-1]
+    s1 = a.var(-1, ddof=1)
+    s2 = b.var(-1, ddof=1)
+    s = np.sqrt(((n1 - 1) * s1 + (n2 - 1) * s2) / (n1 + n2 - 2))
+    return (a.mean(-1) - b.mean(-1)) / s
+
+
 def paired_permutation_test(a, b, *, n_resamples: int = 9999, seed=0,
                             alternative="two-sided") -> TestResult:
     """Sign-flip permutation test of mean(a) - mean(b) on paired samples.

@@ -129,6 +129,24 @@ def load_sig_channels(data_dir: str | Path, pt: str) -> np.ndarray:
     ).astype(np.int64)
 
 
+def canonical_channel_map(pt: str) -> np.ndarray:
+    """The paper patients' flat-index channel maps (1-based), as hardcoded
+    by the figure notebooks' ``get_pt_map_from_flat`` (fig_2.ipynb and
+    supp_fig_4/6_7): 128-contact arrays are 16x8 column-major grids
+    (S23/S26 flipped up-down); 288-contact arrays are 12x24 / 24x12
+    orientations per patient. Used when no ``{pt}_channelMap.mat`` is
+    available (electrode-map visualization of full-grid data)."""
+    if pt in ("S14", "S22"):
+        return np.arange(128).reshape(8, 16).T + 1
+    if pt in ("S23", "S26"):
+        return np.flipud(np.arange(128).reshape(8, 16).T) + 1
+    if pt == "S33":
+        return np.fliplr(np.flipud(np.arange(288).reshape(12, 24))) + 1
+    if pt == "S39":
+        return np.arange(288).reshape(24, 12).T + 1
+    return np.flipud(np.arange(288).reshape(24, 12).T) + 1
+
+
 def save_geometry_mat(data_dir: str | Path, pt: str, chan_map: np.ndarray,
                       sig_channels: np.ndarray):
     """Write the geometry fixture files in the reference layout (inverse of

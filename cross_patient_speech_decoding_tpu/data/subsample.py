@@ -88,6 +88,23 @@ def spatial_avg_data(data: np.ndarray, groups, channel_ids=None):
     return np.stack(cols, axis=-1)
 
 
+def array_distance(locs1: np.ndarray, locs2: np.ndarray,
+                   kind: str = "mean") -> float:
+    """Distance between two electrode arrays' physical locations
+    (supp_fig_19's ``mean/min/max_arr_dist``): 'mean' = distance between
+    array centroids; 'min'/'max' = extreme pairwise electrode distance."""
+    a = np.asarray(locs1, np.float64)
+    b = np.asarray(locs2, np.float64)
+    if kind == "mean":
+        return float(np.linalg.norm(a.mean(0) - b.mean(0)))
+    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    if kind == "min":
+        return float(d.min())
+    if kind == "max":
+        return float(d.max())
+    raise ValueError(f"kind must be mean|min|max, got {kind!r}")
+
+
 def poisson_disk_sample(positions: np.ndarray, radius: float,
                         rng: np.random.Generator, k: int = 30,
                         max_restarts: int = 20, n_points: int | None = None):

@@ -58,6 +58,19 @@ def cmat_acc(
     return jnp.trace(cm) / jnp.maximum(jnp.sum(cm), 1.0)
 
 
+def cmat_acc_iter(y_true_iter, y_pred_iter, n_classes: int):
+    """Confusion-matrix accuracy per (y_true, y_pred) pair — the figure
+    notebooks' ``cmat_wrap`` helper (fig_3.ipynb and 15 others)."""
+    import numpy as np
+
+    return np.array(
+        [
+            float(cmat_acc(jnp.asarray(t), jnp.asarray(p), n_classes))
+            for t, p in zip(y_true_iter, y_pred_iter)
+        ]
+    )
+
+
 def pearson_r(x: jax.Array, y: jax.Array, axis: int = -1) -> jax.Array:
     """Pearson correlation along an axis."""
     xc = x - jnp.mean(x, axis=axis, keepdims=True)

@@ -422,3 +422,47 @@ class TestLatency:
 
         with pytest.raises(ValueError):
             latency_comparison({"only": np.arange(5.0)})
+
+
+def test_cohens_d_matches_definition():
+    """Pooled-SD Cohen's d (fig_4 notebook ``cohend``)."""
+    from cross_patient_speech_decoding_tpu.analysis.stats import cohens_d
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(1.0, 1.0, 40)
+    b = rng.normal(0.0, 2.0, 25)
+    s = np.sqrt((39 * a.var(ddof=1) + 24 * b.var(ddof=1)) / 63)
+    np.testing.assert_allclose(cohens_d(a, b), (a.mean() - b.mean()) / s)
+
+
+def test_notebook_geometry_helpers():
+    """canonical_channel_map / array_distance / cmat_acc_iter — the
+    notebook-local helpers of fig_2/fig_3/supp_fig_19."""
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        canonical_channel_map,
+    )
+    from cross_patient_speech_decoding_tpu.data.subsample import (
+        array_distance,
+    )
+    from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc_iter
+
+    for pt, shape, n in (("S14", (16, 8), 128), ("S26", (16, 8), 128),
+                         ("S33", (12, 24), 288), ("S39", (12, 24), 288),
+                         ("S62", (12, 24), 288)):
+        m = canonical_channel_map(pt)
+        assert m.shape == shape
+        assert sorted(m.ravel()) == list(range(1, n + 1))
+    # S14 is plain column-major: first column is 1..16
+    np.testing.assert_array_equal(canonical_channel_map("S14")[:, 0],
+                                  np.arange(1, 17))
+
+    a = np.array([[0.0, 0.0], [2.0, 0.0]])
+    b = np.array([[5.0, 0.0], [9.0, 0.0]])
+    assert array_distance(a, b, "mean") == 6.0
+    assert array_distance(a, b, "min") == 3.0
+    assert array_distance(a, b, "max") == 9.0
+    with pytest.raises(ValueError):
+        array_distance(a, b, "median")
+
+    accs = cmat_acc_iter([[0, 1, 2], [0, 0, 0]], [[0, 1, 1], [0, 1, 2]], 3)
+    np.testing.assert_allclose(accs, [2 / 3, 1 / 3])
