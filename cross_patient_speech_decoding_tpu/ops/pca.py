@@ -151,6 +151,16 @@ def pca_transform(state: PCAState, X: jax.Array) -> jax.Array:
     return hdot(X - state.mean, state.components)
 
 
+def pca_inverse_transform(state: PCAState, Z: jax.Array) -> jax.Array:
+    """Map latents (..., K) back to feature space (..., F) — sklearn
+    ``PCA.inverse_transform`` as used by the fig_3 reconstruction-transfer
+    flow (`figure_analyses/fig_3.ipynb` ``reconDict_allPts`` cell:
+    ``pcas[recon_pt].inverse_transform(aligned_data[pt])``). Masked
+    (inactive) latent columns are zero on both sides, so the static-width
+    layout reconstructs identically to sklearn's truncated components."""
+    return hdot(Z * state.mask, state.components.swapaxes(-1, -2)) + state.mean
+
+
 def pca_fit_transform(X, n_components=None, **kwargs):
     state = pca_fit(X, n_components, **kwargs)
     return state, pca_transform(state, X)

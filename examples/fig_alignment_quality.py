@@ -7,6 +7,10 @@ Runs on synthetic data; with real patient files point data.loaders at them.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import jax
 import jax.numpy as jnp

@@ -7,6 +7,10 @@ the extrapolated trials needed to reach 25% PER.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import numpy as np
 

@@ -11,6 +11,10 @@ XLA launches.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -65,7 +69,63 @@ def main(n_iter: int = 5):
     for r in rows:
         print(f"  {r.a} vs {r.b}: stat={r.statistic:.1f} p={r.pvalue:.4f} "
               f"p_fdr={r.pvalue_fdr:.4f}{' *' if r.significant else ''}")
-    return groups, rows
+
+    recon = reconstruction_transfer(tar, cross, n_y, n_a)
+    print("\nreconstruction transfer (target-trained classifier on other "
+          "patients' data reconstructed into the target electrode space):")
+    for i, (al, nu) in enumerate(recon):
+        print(f"  pair{i + 1}: aligned recon acc {al:.3f} vs "
+              f"unaligned-null {nu:.3f} (chance {1.0 / n_y:.3f})")
+    return groups, rows, recon
+
+
+def reconstruction_transfer(tar, cross, n_y, n_a, max_k=24):
+    """fig_3's ``reconDict_allPts`` block: PCA every patient, CCA-align each
+    source into the target latent space, reconstruct to the target
+    ELECTRODE space via the target PCA's inverse transform, and evaluate a
+    classifier trained on the target's own electrode data on each source's
+    reconstruction — aligned vs the unaligned-null control
+    (`figure_analyses/fig_3.ipynb` ``recon_decode``/``aligned_data_null``
+    cells)."""
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+    from cross_patient_speech_decoding_tpu.ops.classifiers import (
+        kernel_classifier_fit,
+        kernel_classifier_predict,
+    )
+    from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc
+    from cross_patient_speech_decoding_tpu.ops.pca import (
+        pca_inverse_transform,
+    )
+
+    T = tar.X.shape[1]
+    st_t = _fit_pca_latents(tar.X, 0.9, max_k)
+    lat_t = _transform_latents(st_t, tar.X, max_k)
+
+    flat_tar = tar.X.reshape(tar.X.shape[0], -1)
+    clf = kernel_classifier_fit(flat_tar, tar.y, n_y, lam=1e-2)
+
+    out = []
+    for c in cross:
+        lat_c = _transform_latents(
+            _fit_pca_latents(c.X, 0.9, max_k), c.X, max_k
+        )
+        al = fit_cca_aligner(lat_t, lat_c, tar.y_align, c.y_align, n_a)
+        accs = []
+        for lat in (transform_b_to_a(al, lat_c), lat_c):  # aligned, null
+            rec = pca_inverse_transform(
+                st_t, lat.reshape(-1, max_k)
+            ).reshape(lat.shape[0], -1)
+            pred = kernel_classifier_predict(clf, rec)
+            accs.append(float(cmat_acc(c.y, pred, n_y)))
+        out.append(tuple(accs))
+    return out
 
 
 if __name__ == "__main__":

@@ -9,6 +9,10 @@ closed-loop budget) and a Mann-Whitney comparison across conditions.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 import tempfile
 from pathlib import Path
 

@@ -11,6 +11,10 @@ unaligned-vs-CCA-aligned cross-patient comparison.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,10 @@ random-data control, with Wilcoxon-style paired stats.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import jax.numpy as jnp
 import numpy as np

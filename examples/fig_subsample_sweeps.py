@@ -11,6 +11,10 @@ contact size with BH-FDR (`fig_6.ipynb` cell 53:
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
 
 import numpy as np
 

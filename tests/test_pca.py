@@ -81,3 +81,24 @@ def test_pca_vmappable_over_folds():
             np.abs(np.asarray(single.components)),
             atol=2e-4,
         )
+
+
+def test_pca_inverse_transform_matches_sklearn():
+    """fig_3 reconstruction flow: inverse_transform of (possibly masked)
+    latents reproduces sklearn's truncated reconstruction."""
+    from cross_patient_speech_decoding_tpu.ops.pca import (
+        pca_inverse_transform,
+    )
+
+    X = _rand(11, 50, 8)
+    st = pca_fit(jnp.asarray(X), 3, max_components=6)
+    Z = pca_transform(st, jnp.asarray(X))
+    rec = np.asarray(pca_inverse_transform(st, Z))
+
+    sk = PCA(n_components=3).fit(X)
+    rec_sk = sk.inverse_transform(sk.transform(X))
+    np.testing.assert_allclose(rec, rec_sk, atol=2e-4)
+
+    # round trip on the active subspace: transform(inverse(Z)) == Z
+    Z2 = pca_transform(st, pca_inverse_transform(st, Z))
+    np.testing.assert_allclose(np.asarray(Z2), np.asarray(Z), atol=2e-4)
