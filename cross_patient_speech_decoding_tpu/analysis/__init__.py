@@ -33,13 +33,17 @@ from .cluster import (
 from .rsa import compare_rdms, rdm_correlation, subset_rdm
 from .contexts import (
     anova_tukey_by_group,
+    cmat_accuracy_from_results,
     context_comparison_table,
+    prediction_records_from_results,
     rm_anova_followup,
 )
 from .latency import latency_comparison, latency_report
 
 __all__ = [
     "anova_rm",
+    "cmat_accuracy_from_results",
+    "prediction_records_from_results",
     "f_oneway",
     "fdr_bh",
     "mann_whitney_u",

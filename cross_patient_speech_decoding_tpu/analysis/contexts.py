@@ -118,3 +118,32 @@ def rm_anova_followup(
         for (i, j), s, p, pf, r in zip(pairs, stats, pvals, p_fdr, reject)
     ]
     return RMAnovaResult(float(rm.statistic), float(rm.pvalue), rows)
+
+
+def prediction_records_from_results(path):
+    """Per-iteration (y_true, y_pred, wrong_trs) lists from a driver
+    results pickle written with ``save_preds`` — the reference's
+    ``out_data['y_true'/'y_pred'/'wrong_trs']`` lists that the fig_3
+    confusion-matrix cells consume (aligned_decode_svm_ncv.py:440-445)."""
+    from cross_patient_speech_decoding_tpu.data.loaders import load_pkl
+
+    store = load_pkl(path)
+    recs = [e for e in store.get("extra", []) if "y_pred" in e]
+    if not recs:
+        raise KeyError(
+            f"{path} holds no prediction records (run with save_preds=true)"
+        )
+    return (
+        [r["y_true"] for r in recs],
+        [r["y_pred"] for r in recs],
+        [r["wrong_trs"] for r in recs],
+    )
+
+
+def cmat_accuracy_from_results(path, n_classes: int):
+    """Per-iteration confusion-matrix accuracy over the saved pooled-fold
+    predictions — ``cmat_wrap`` applied to a results pickle."""
+    from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc_iter
+
+    y_true, y_pred, _ = prediction_records_from_results(path)
+    return cmat_acc_iter(y_true, y_pred, n_classes)

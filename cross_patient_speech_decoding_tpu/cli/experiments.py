@@ -33,6 +33,7 @@ from cross_patient_speech_decoding_tpu.data.loaders import (
 )
 from cross_patient_speech_decoding_tpu.data.splits import (
     repeated_stratified_kfold_masks,
+    stratified_train_subsample_masks,
     train_val_test_masks,
 )
 from cross_patient_speech_decoding_tpu.decoders import (
@@ -147,6 +148,48 @@ def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 
 
 # ------------------------------------------------------------- svm decode ----
 
+def apply_pool_filters(cross, cross_names, pool_train: bool, pooled_pts: str):
+    """Cross-patient pool selection shared by the decode/sweep drivers.
+
+    ``pool_train=False`` is the reference's single-patient branch (no cross
+    data pooled, aligned_decode_svm_ncv.py:415-437); ``pooled_pts`` selects
+    a named subset in the user's order (``-pp``,
+    aligned_decode_svm_ncv.py:280-282 — also covers the legacy ``-n``
+    S23 exclusion). Returns the filtered (cross, cross_names) pair.
+    """
+    if not pool_train:
+        return (), ()
+    if pooled_pts in ("", "all"):
+        return tuple(cross), tuple(cross_names)
+    want = [p.strip() for p in pooled_pts.split(",") if p.strip()]
+    missing = [p for p in want if p not in cross_names]
+    if missing:
+        raise ValueError(
+            f"pooled_pts {missing} not among cross patients {list(cross_names)}"
+        )
+    return tuple(cross[list(cross_names).index(p)] for p in want), tuple(want)
+
+
+def _prediction_records(y_host, preds, test_masks):
+    """(y_true, y_pred, wrong_trs) for one iteration, in the reference's
+    fold-major / ascending-test-index order (aligned_decode_svm_ncv.py:
+    437-445: test splits concatenated across folds; ``wrong_trs`` are
+    target-trial indices of the mispredicted test rows)."""
+    y_true, y_pred, wrong = [], [], []
+    for f in range(test_masks.shape[0]):
+        idx = np.where(test_masks[f] > 0)[0]
+        yt = y_host[idx]
+        yp = np.asarray(preds[f])[idx]
+        y_true.append(yt)
+        y_pred.append(yp)
+        wrong.append(idx[yt != yp])
+    return (
+        np.concatenate(y_true),
+        np.concatenate(y_pred),
+        np.concatenate(wrong),
+    )
+
+
 def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     """Repeated stratified-CV pooled decode; incremental pkl persistence.
 
@@ -155,12 +198,15 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     surrogates (supp_fig_11); ``surrogate='shuffle'`` uses mode-shuffle
     surrogates; ``random_data`` replaces cross data with uniform noise.
     """
-    tar, cross, n_y, n_a = _patients_from_config(
+    tar, cross, n_y, n_a, names = _patients_from_config(
         cfg.data, cfg.target_pt, cfg.p_ind, cfg.lab_type, cfg.algn_type,
         cfg.seed, cfg.random_data,
         trials_per_class=cfg.synth_trials,
         n_patients=cfg.synth_patients, T=cfg.synth_T,
+        return_names=True,
     )
+    cross, _ = apply_pool_filters(cross, names[1:], cfg.pool_train,
+                                  cfg.pooled_pts)
     rng_ctl = np.random.default_rng(cfg.seed + 777)
     if cfg.chance:
         perm = rng_ctl.permutation(len(np.asarray(tar.y)))
@@ -187,7 +233,9 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam, kernel=cfg.kernel,
-        tar_in_train=cfg.tar_in_train, bagging=cfg.bagging, seed=cfg.seed,
+        # single-patient mode trains on the target by definition
+        tar_in_train=cfg.tar_in_train or not cfg.pool_train,
+        bagging=cfg.bagging, seed=cfg.seed,
     )
     y_host = np.asarray(tar.y)
 
@@ -210,16 +258,25 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
         )
 
         for it in range(len(all_accs), cfg.n_iter):
-            accs, hp_best = nested_cv_decode_bayes(
+            out = nested_cv_decode_bayes(
                 tar, cross, dcfg, n_folds=cfg.n_folds,
                 n_rounds=cfg.nested_rounds, n_points=cfg.nested_points,
                 n_inner=cfg.nested_inner, strategy=cfg.strategy,
                 seed=cfg.seed + 104729 * it,
+                train_frac=cfg.trial_subsample,
+                return_preds=cfg.save_preds,
             )
+            extra = {}
+            if cfg.save_preds:
+                accs, hp_best, preds, te = out
+                yt, yp, wr = _prediction_records(y_host, np.asarray(preds), te)
+                extra.update(y_true=yt, y_pred=yp, wrong_trs=wr)
+            else:
+                accs, hp_best = out
+            extra.update({k: np.asarray(v) for k, v in hp_best.items()})
             all_accs.append(accs)
             append_results_pkl(
-                cfg.out, accs, params=vars(cfg),
-                extra={k: np.asarray(v) for k, v in hp_best.items()},
+                cfg.out, accs, params=vars(cfg), extra=extra,
             )
             if verbose:
                 print(
@@ -229,7 +286,8 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
                 )
         return np.stack(all_accs)
 
-    decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch)
+    decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch,
+                              return_preds=cfg.save_preds)
     # iter_batch > 1 stacks several iterations' fold masks into one device
     # call (folds are just rows to the decoder; per-iteration seeds and
     # incremental persistence are unchanged, so resume stays per-iteration
@@ -247,13 +305,27 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
         ]
         tr = np.concatenate([p[0] for p in pairs], axis=0)
         te = np.concatenate([p[1] for p in pairs], axis=0)
-        accs_all = np.asarray(
-            decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te))
-        )
+        if cfg.trial_subsample < 1.0:
+            # -tss: stratified per-fold target-train subsample
+            # (aligned_decode_svm_ncv.py:351-360)
+            tr = stratified_train_subsample_masks(
+                tr, y_host, cfg.trial_subsample,
+                np.random.default_rng(cfg.seed + 3571 * (it + 1)),
+            )
+        out = decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te))
+        if cfg.save_preds:
+            accs_all, preds_all = np.asarray(out[0]), np.asarray(out[1])
+        else:
+            accs_all, preds_all = np.asarray(out), None
         for j in range(k):
-            accs = accs_all[j * cfg.n_folds : (j + 1) * cfg.n_folds]
+            sl = slice(j * cfg.n_folds, (j + 1) * cfg.n_folds)
+            accs = accs_all[sl]
             all_accs.append(accs)
-            append_results_pkl(cfg.out, accs, params=vars(cfg))
+            extra = None
+            if preds_all is not None:
+                yt, yp, wr = _prediction_records(y_host, preds_all[sl], te[sl])
+                extra = {"y_true": yt, "y_pred": yp, "wrong_trs": wr}
+            append_results_pkl(cfg.out, accs, params=vars(cfg), extra=extra)
             if verbose:
                 print(
                     f"iter {it + j}: balanced acc {accs.mean():.3f} "

@@ -38,6 +38,7 @@ import numpy as np
 from cross_patient_speech_decoding_tpu.cli.experiments import (
     _build_patient_arrays,
     _patients_from_config,
+    apply_pool_filters,
 )
 from cross_patient_speech_decoding_tpu.data.loaders import (
     decoding_data_from_dict,
@@ -76,6 +77,18 @@ class SubsampleConfig:
     n_comp: float = 0.8
     max_k: int = 24
     lam: float = 1.0
+    # -po/-t/-pp flags shared with the decode scripts (single-patient
+    # branch / target rows in the pool / named cross subset —
+    # aligned_decode_grid_subsample.py:112-120,195-197)
+    pool_train: bool = True
+    tar_in_train: bool = True
+    pooled_pts: str = "all"
+    # -cv flag: per-sweep-point nested TPE hyperparameter search
+    # (aligned_decode_grid_subsample.py:127-151,335)
+    nested: bool = False
+    nested_rounds: int = 2
+    nested_points: int = 3
+    nested_inner: int = 3
     seed: int = 0
     # real electrode geometry: dir holding {pt}/{pt}_channelMap.mat +
     # {pt}_sigChannel.mat ('' = fabricate a square map, synthetic only)
@@ -102,16 +115,35 @@ def _setup(cfg: SubsampleConfig):
         cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
         trials_per_class=cfg.trials_per_class, return_names=True,
     )
+    cross, cross_names = apply_pool_filters(
+        cross, names[1:], cfg.pool_train, cfg.pooled_pts
+    )
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam,
+        tar_in_train=cfg.tar_in_train or not cfg.pool_train,
     )
-    return tar, cross, dcfg, names
+    return tar, cross, dcfg, [names[0], *cross_names]
 
 
-def _decode(tar, cross, dcfg, strategy, n_folds, rng):
-    decoder = make_cv_decoder(strategy, dcfg)
-    tr, te = stratified_kfold_masks(np.asarray(tar.y), n_folds, rng)
+def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng):
+    """Mean CV accuracy of one sweep point; ``nested=True`` runs the
+    reference's per-fold BayesSearchCV analog at every point instead of
+    the fixed-hyperparameter fit (aligned_decode_grid_subsample.py:335)."""
+    if cfg.nested:
+        from cross_patient_speech_decoding_tpu.decoders.nested_cv import (
+            nested_cv_decode_bayes,
+        )
+
+        accs, _ = nested_cv_decode_bayes(
+            tar, tuple(cross), dcfg, n_folds=cfg.n_folds,
+            n_rounds=cfg.nested_rounds, n_points=cfg.nested_points,
+            n_inner=cfg.nested_inner, strategy=cfg.strategy,
+            seed=int(rng.integers(2**31)),
+        )
+        return float(np.asarray(accs).mean())
+    decoder = make_cv_decoder(cfg.strategy, dcfg)
+    tr, te = stratified_kfold_masks(np.asarray(tar.y), cfg.n_folds, rng)
     accs = decoder(tar, tuple(cross), jnp.asarray(tr), jnp.asarray(te))
     return float(np.asarray(accs).mean())
 
@@ -127,6 +159,11 @@ def _save_results(cfg: SubsampleConfig, sweep: str, results):
 def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
     """Accuracy vs cross-patient trial count -> (n_k, n_iter) matrix."""
     tar, cross, dcfg, _ = _setup(cfg)
+    if not cross:
+        raise ValueError(
+            "the trial-count sweep subsamples CROSS-patient trials; it "
+            "needs pool_train=True and a non-empty pooled_pts selection"
+        )
     rng = np.random.default_rng(cfg.seed)
     median_n = int(np.median([c.X.shape[0] for c in cross]))
     ks = list(range(cfg.k_start, median_n + 1, cfg.k_step))
@@ -144,9 +181,7 @@ def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
                         y_align=c.y_align[jnp.asarray(idx)],
                     )
                 )
-            results[ki, it] = _decode(
-                tar, sub_cross, dcfg, cfg.strategy, cfg.n_folds, rng
-            )
+            results[ki, it] = _decode(tar, sub_cross, dcfg, cfg, rng)
         if verbose:
             print(f"k={k}: acc {results[ki].mean():.3f}", flush=True)
     _save_results(cfg, "trials", {"ks": np.asarray(ks), "accs": results})
@@ -253,7 +288,7 @@ def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
                 for c, g in zip(cross, grids[1:])
             ]
             accs.append(
-                _decode(sub_tar, sub_cross, dcfg, cfg.strategy, cfg.n_folds, rng)
+                _decode(sub_tar, sub_cross, dcfg, cfg, rng)
             )
         results[win] = np.asarray(accs)
         if verbose:
@@ -276,6 +311,10 @@ def _savg_patients(cfg: SubsampleConfig, contact_size: int):
     cs_key = f"cs_{contact_size}x{contact_size}"
     data = load_pkl(cfg.data)
     (X_t, y_t, ya_t), pre = decoding_data_from_dict(data, cfg.target_pt, -1)
+    pre, _ = apply_pool_filters(
+        pre, list(data[cfg.target_pt]["pre_pts"]), cfg.pool_train,
+        cfg.pooled_pts,
+    )
 
     def pick(X):
         if not isinstance(X, dict):
@@ -296,6 +335,7 @@ def _savg_patients(cfg: SubsampleConfig, contact_size: int):
     dcfg = DecodeConfig(
         n_comp=cfg.n_comp, max_k=cfg.max_k, n_classes=n_y,
         n_align_classes=n_a, lam=cfg.lam,
+        tar_in_train=cfg.tar_in_train or not cfg.pool_train,
     )
     return pts[0], pts[1:], dcfg
 
@@ -314,7 +354,7 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
         for cs in cfg.contact_sizes:
             tar, crs, dcfg = _savg_patients(cfg, int(cs))
             accs = [
-                _decode(tar, crs, dcfg, cfg.strategy, cfg.n_folds, rng)
+                _decode(tar, crs, dcfg, cfg, rng)
                 for _ in range(cfg.n_iter)
             ]
             results[cs] = np.asarray(accs)
@@ -336,7 +376,7 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
                 PatientArrays(X=jnp.asarray(Xa), y=p.y, y_align=p.y_align)
             )
         accs = [
-            _decode(pts_avg[0], pts_avg[1:], dcfg, cfg.strategy, cfg.n_folds, rng)
+            _decode(pts_avg[0], pts_avg[1:], dcfg, cfg, rng)
             for _ in range(cfg.n_iter)
         ]
         results[cs] = np.asarray(accs)
@@ -384,8 +424,7 @@ def run_pitch_subsample(cfg: SubsampleConfig, verbose: bool = True):
                     )
                 pts_sub.append(_gather_channels(p, idx))
             accs.append(
-                _decode(pts_sub[0], pts_sub[1:], dcfg, cfg.strategy,
-                        cfg.n_folds, rng)
+                _decode(pts_sub[0], pts_sub[1:], dcfg, cfg, rng)
             )
         results[pitch] = np.asarray(accs)
         if verbose:

@@ -67,3 +67,42 @@ def train_val_test_masks(
     val[perm[n_test : n_test + n_val]] = 1
     train[perm[n_test + n_val :]] = 1
     return train, val, test
+
+
+def stratified_train_subsample_masks(
+    train_masks: np.ndarray,
+    y: np.ndarray,
+    frac: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Stratified subsample of each fold row's TRAIN set to ``frac`` of it.
+
+    The reference subsamples the target train split per outer fold with
+    ``train_test_split(train_size=frac, stratify=lab_tar_train)``
+    (`aligned_decode_svm_ncv.py:351-360`, the ``-tss`` flag): keep
+    ``floor(frac * n_train)`` rows, allocated proportionally per class
+    (largest-remainder rounding, >= 1 per present class). Test masks are
+    untouched; returns a new train-mask stack of the same shape.
+    """
+    if frac >= 1.0:
+        return train_masks
+    y = np.asarray(y)
+    out = np.zeros_like(train_masks)
+    for f in range(train_masks.shape[0]):
+        tr_idx = np.where(train_masks[f] > 0)[0]
+        labs = y[tr_idx]
+        classes, counts = np.unique(labs, return_counts=True)
+        n_keep = int(np.floor(frac * len(tr_idx)))
+        raw = frac * counts
+        base = np.floor(raw).astype(int)
+        extra = np.argsort(-(raw - base))
+        base[extra[: max(0, n_keep - base.sum())]] += 1
+        base = np.maximum(base, 1)  # stratified split: every class survives
+        kept = np.concatenate(
+            [
+                rng.permutation(tr_idx[labs == c])[:k]
+                for c, k in zip(classes, base)
+            ]
+        )
+        out[f, kept] = 1.0
+    return out

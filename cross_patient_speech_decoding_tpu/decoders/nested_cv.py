@@ -144,11 +144,11 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
         return jax.lax.map(one_outer, (inner_tr, inner_te, hp_table))
 
     def final_eval(tar, cross, train_masks, test_masks, hp_best):
-        # hp_best: dict of (n_outer,) — refit each outer fold at its best
+        # hp_best: dict of (n_outer,) — refit each outer fold at its best;
+        # returns (accs, preds-over-all-rows) per outer fold
         def one(args):
             tr, te, hp = args
-            acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=hp)
-            return acc
+            return fold_fn(tar, cross, tr, te, cfg, hp=hp)
 
         return jax.lax.map(one, (train_masks, test_masks, hp_best))
 
@@ -165,6 +165,8 @@ def nested_cv_decode_bayes(
     n_inner: int = 5,
     strategy: str = "sep_align",
     seed: int = 0,
+    train_frac: float = 1.0,
+    return_preds: bool = False,
 ):
     """Nested CV with sequential TPE acquisition — the direct analog of the
     reference's ``BayesSearchCV(n_iter=25, n_points=5)``
@@ -174,10 +176,17 @@ def nested_cv_decode_bayes(
     whole (n_outer x n_points) table in one jitted launch; only the
     proposal step (tiny numpy TPE) runs on host.
 
-    Returns (accs (n_outer,), best_hp dict of (n_outer,) arrays).
+    ``train_frac < 1`` applies the reference's ``-tss`` stratified
+    target-train subsampling per outer fold BEFORE the search
+    (`aligned_decode_svm_ncv.py:351-360`), so hyperparameters are tuned on
+    the subsampled train set exactly as the reference does.
+
+    Returns (accs (n_outer,), best_hp dict of (n_outer,) arrays), plus
+    preds (n_outer, N) over all target rows when ``return_preds=True``.
     """
     from cross_patient_speech_decoding_tpu.data.splits import (
         stratified_kfold_masks,
+        stratified_train_subsample_masks,
     )
     from cross_patient_speech_decoding_tpu.sweep.bayes import (
         Float,
@@ -193,6 +202,8 @@ def nested_cv_decode_bayes(
     rng = np.random.default_rng(seed)
     y = np.asarray(tar.y)
     tr, te = stratified_kfold_masks(y, n_folds, rng)
+    if train_frac < 1.0:
+        tr = stratified_train_subsample_masks(tr, y, train_frac, rng)
     itr = np.zeros((n_folds, n_inner, len(y)))
     ite = np.zeros((n_folds, n_inner, len(y)))
     for k in range(n_folds):
@@ -233,10 +244,12 @@ def nested_cv_decode_bayes(
         name: jnp.asarray([b[name] for b in best], jnp.float32)
         for name in names
     }
-    accs = np.asarray(
-        final_eval(tar, cross, jnp.asarray(tr), jnp.asarray(te), hp_best)
+    accs, preds = final_eval(
+        tar, cross, jnp.asarray(tr), jnp.asarray(te), hp_best
     )
-    return accs, hp_best
+    if return_preds:
+        return np.asarray(accs), hp_best, np.asarray(preds), te
+    return np.asarray(accs), hp_best
 
 
 def nested_cv_decode(

@@ -349,12 +349,19 @@ def make_cv_decoder(
     fold_batch: int = 0,
     mesh=None,
     fold_axis: str = "data",
+    return_preds: bool = False,
 ):
     """Build a jitted CV decoder: (tar, cross, train_masks, test_masks) -> accs.
 
     ``train_masks``/``test_masks`` are (n_folds, N0); folds are a vmap axis.
     With ``fold_batch > 0`` folds are processed in lax.map chunks of that
     size to bound memory (each fold solves an (N_pool, N_pool) system).
+
+    With ``return_preds=True`` the decoder returns ``(accs, preds)`` where
+    ``preds`` is (n_folds, N0) predicted labels over ALL target rows (the
+    caller selects test rows via its masks) — the reference persists
+    per-fold ``y_pred``/``wrong_trs`` every iteration
+    (`aligned_decode_svm_ncv.py:440-456`).
 
     With ``mesh`` given, the fold axis is sharded over the mesh's
     ``fold_axis`` — folds are embarrassingly parallel (the reference farms
@@ -364,8 +371,8 @@ def make_cv_decoder(
     fold_fn = _STRATEGIES[strategy]
 
     def one_fold(tar, cross, tr, te):
-        acc, _ = fold_fn(tar, cross, tr, te, cfg)
-        return acc
+        acc, preds = fold_fn(tar, cross, tr, te, cfg)
+        return (acc, preds) if return_preds else acc
 
     def run(tar, cross, train_masks, test_masks):
         vm = jax.vmap(one_fold, in_axes=(None, None, 0, 0))
@@ -376,8 +383,14 @@ def make_cv_decoder(
             te = jnp.pad(test_masks, ((0, pad), (0, 0)))
             tr = tr.reshape(-1, fold_batch, tr.shape[-1])
             te = te.reshape(-1, fold_batch, te.shape[-1])
-            accs = jax.lax.map(lambda ms: vm(tar, cross, ms[0], ms[1]), (tr, te))
-            return accs.reshape(-1)[:n]
+            out = jax.lax.map(lambda ms: vm(tar, cross, ms[0], ms[1]), (tr, te))
+            if return_preds:
+                accs, preds = out
+                return (
+                    accs.reshape(-1)[:n],
+                    preds.reshape(-1, preds.shape[-1])[:n],
+                )
+            return out.reshape(-1)[:n]
         return vm(tar, cross, train_masks, test_masks)
 
     if mesh is None:
@@ -387,10 +400,11 @@ def make_cv_decoder(
 
     repl = NamedSharding(mesh, P())
     folds_sh = NamedSharding(mesh, P(fold_axis, None))
+    accs_sh = NamedSharding(mesh, P(fold_axis))
     jitted = jax.jit(
         run,
         in_shardings=(repl, repl, folds_sh, folds_sh),
-        out_shardings=NamedSharding(mesh, P(fold_axis)),
+        out_shardings=(accs_sh, folds_sh) if return_preds else accs_sh,
     )
 
     def sharded_run(tar, cross, train_masks, test_masks):
@@ -399,12 +413,14 @@ def make_cv_decoder(
         pad = (-n) % n_dev
         tr = jnp.pad(train_masks, ((0, pad), (0, 0)))
         te = jnp.pad(test_masks, ((0, pad), (0, 0)))
-        accs = jitted(
+        out = jitted(
             jax.device_put(tar, repl),
             jax.device_put(cross, repl),
             jax.device_put(tr, folds_sh),
             jax.device_put(te, folds_sh),
         )
-        return accs[:n]
+        if return_preds:
+            return out[0][:n], out[1][:n]
+        return out[:n]
 
     return sharded_run

@@ -95,6 +95,20 @@ class SVMDecodeConfig:
     lam: float = 1.0
     kernel: str = "rbf"
     tar_in_train: bool = True
+    # -po flag: False = single-patient decode (no cross data pooled —
+    # the reference's PCA+SVC-on-target-only branch,
+    # aligned_decode_svm_ncv.py:415-437, fig_3's per-patient baseline)
+    pool_train: bool = True
+    # -pp flag: comma list of cross patients to pool ('all' = every
+    # pre_pt; also covers the legacy -n/--no_S23 exclusion) —
+    # aligned_decode_svm_ncv.py:280-282
+    pooled_pts: str = "all"
+    # -tss flag: stratified per-fold subsample of the TARGET train split
+    # (aligned_decode_svm_ncv.py:351-360)
+    trial_subsample: float = 1.0
+    # persist per-iteration y_true/y_pred/wrong_trs next to the accs
+    # (out_data keys of aligned_decode_svm_ncv.py:440-456)
+    save_preds: bool = True
     # nested Bayesian hyperparameter search per outer fold — the
     # reference's do_cv flag wiring BayesSearchCV(n_iter=25, n_points=5)
     # into the main driver (aligned_decode_svm_ncv.py:373-404);

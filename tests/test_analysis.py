@@ -466,3 +466,29 @@ def test_notebook_geometry_helpers():
 
     accs = cmat_acc_iter([[0, 1, 2], [0, 0, 0]], [[0, 1, 1], [0, 1, 2]], 3)
     np.testing.assert_allclose(accs, [2 / 3, 1 / 3])
+
+
+def test_prediction_records_from_results(tmp_path):
+    """save_preds output round-trips into the cmat_wrap flow."""
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.analysis import (
+        cmat_accuracy_from_results,
+        prediction_records_from_results,
+    )
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        run_svm_decode,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import SVMDecodeConfig
+
+    out = tmp_path / "r.pkl"
+    run_svm_decode(
+        SVMDecodeConfig(n_iter=2, n_folds=2, fold_batch=2, max_k=10,
+                        out=str(out)),
+        verbose=False,
+    )
+    y_true, y_pred, wrong = prediction_records_from_results(out)
+    assert len(y_true) == 2
+    accs = cmat_accuracy_from_results(out, n_classes=9)
+    manual = np.array([(t == p).mean() for t, p in zip(y_true, y_pred)])
+    np.testing.assert_allclose(accs, manual, atol=1e-6)

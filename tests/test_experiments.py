@@ -153,8 +153,8 @@ def test_svm_decode_nested(tmp_path):
     store = load_pkl(out)
     # per-fold best hyperparams persisted alongside the accuracies
     (hp,) = store["extra"]
-    assert set(hp) == {"n_comp", "lam", "gamma_scale"}
-    assert all(v.shape == (3,) for v in hp.values())
+    assert {"n_comp", "lam", "gamma_scale"} <= set(hp)
+    assert all(hp[k].shape == (3,) for k in ("n_comp", "lam", "gamma_scale"))
 
 
 def test_svm_decode_nested_resume(tmp_path):
@@ -374,3 +374,128 @@ def test_analyze_results_comparison(tmp_path):
     ref = ss.wilcoxon(a, b)
     assert by_pair[("patient", "aligned")].pvalue == pytest.approx(ref.pvalue)
     assert by_pair[("patient", "aligned")].significant
+
+
+def test_svm_decode_persists_predictions(tmp_path):
+    """y_true/y_pred/wrong_trs persist per iteration (the reference's
+    out_data keys, aligned_decode_svm_ncv.py:440-456) and are internally
+    consistent with the stored per-fold balanced accuracies."""
+    from cross_patient_speech_decoding_tpu.data.loaders import load_pkl
+
+    out = tmp_path / "p.pkl"
+    accs = run_svm_decode(
+        SVMDecodeConfig(n_iter=2, n_folds=3, fold_batch=3, max_k=12,
+                        out=str(out)),
+        verbose=False,
+    )
+    store = load_pkl(out)
+    assert len(store["extra"]) == 2
+    rec = store["extra"][0]
+    y_true, y_pred, wrong = rec["y_true"], rec["y_pred"], rec["wrong_trs"]
+    # every target trial appears exactly once across the 3 test folds
+    assert len(y_true) == len(y_pred)
+    assert sorted(wrong.tolist()) == sorted(set(wrong.tolist()))
+    # wrong_trs point at genuinely mispredicted trials
+    assert (y_true != y_pred).sum() == len(wrong)
+    # pooled-prediction accuracy is in the ballpark of the fold-mean accs
+    pooled_acc = float((y_true == y_pred).mean())
+    assert abs(pooled_acc - float(accs[0].mean())) < 0.35
+
+
+def test_svm_decode_pool_train_false_and_subset(tmp_path):
+    """-po/-pp analogs: single-patient mode and cross-patient subsets run
+    and produce finite accuracies; unknown subset names raise."""
+    base = dict(n_iter=1, n_folds=2, fold_batch=2, max_k=10, seed=3)
+    single = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "sp.pkl"), pool_train=False,
+                        **base),
+        verbose=False,
+    )
+    assert np.isfinite(single).all()
+    subset = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "ss.pkl"),
+                        pooled_pts="synthetic2", **base),
+        verbose=False,
+    )
+    assert np.isfinite(subset).all()
+    with pytest.raises(ValueError, match="pooled_pts"):
+        run_svm_decode(
+            SVMDecodeConfig(out=str(tmp_path / "bad.pkl"),
+                            pooled_pts="nope", **base),
+            verbose=False,
+        )
+
+
+def test_svm_decode_trial_subsample_fraction(tmp_path):
+    """-tss analog: stratified target-train subsampling runs end to end
+    (and the mask helper honors fraction + stratification)."""
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+        stratified_train_subsample_masks,
+    )
+
+    rng = np.random.default_rng(0)
+    y = np.repeat(np.arange(5), 12)
+    tr, te = stratified_kfold_masks(y, 3, rng)
+    sub = stratified_train_subsample_masks(tr, y, 0.5, rng)
+    for f in range(3):
+        assert set(np.where(sub[f] > 0)[0]) <= set(np.where(tr[f] > 0)[0])
+        # floor(0.5 * n_train) rows kept (up to the >=1-per-class clamp)
+        n_tr = int(tr[f].sum())
+        assert abs(int(sub[f].sum()) - n_tr // 2) <= 5
+        for c in range(5):  # every class survives
+            assert (y[sub[f] > 0] == c).sum() >= 1
+
+    accs = run_svm_decode(
+        SVMDecodeConfig(n_iter=1, n_folds=2, fold_batch=2, max_k=10,
+                        trial_subsample=0.6, out=str(tmp_path / "t.pkl")),
+        verbose=False,
+    )
+    assert np.isfinite(accs).all()
+
+
+def test_svm_decode_nested_persists_predictions(tmp_path):
+    from cross_patient_speech_decoding_tpu.data.loaders import load_pkl
+
+    out = tmp_path / "np.pkl"
+    run_svm_decode(
+        SVMDecodeConfig(n_iter=1, n_folds=2, max_k=10, nested=True,
+                        nested_rounds=1, nested_points=2, nested_inner=2,
+                        trial_subsample=0.8, out=str(out)),
+        verbose=False,
+    )
+    rec = load_pkl(out)["extra"][0]
+    assert {"y_true", "y_pred", "wrong_trs", "n_comp", "lam"} <= set(rec)
+    assert (rec["y_true"] != rec["y_pred"]).sum() == len(rec["wrong_trs"])
+
+
+def test_subsample_sweeps_pool_flags_and_nested():
+    """-po/-pp/-cv analogs on the sweep drivers: single-patient grid
+    sweep, named-subset spatial sweep, and a nested trial sweep point all
+    run; trial sweep without a pool raises."""
+    from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
+        run_grid_subsample,
+        run_pitch_subsample,
+    )
+
+    base = dict(n_iter=1, n_folds=2, max_k=10, trials_per_class=8)
+    res = run_grid_subsample(
+        SubsampleConfig(pool_train=False, win_sizes=(4,), **base),
+        verbose=False,
+    )
+    assert all(np.isfinite(v).all() for v in res.values())
+    res = run_spatial_avg(
+        SubsampleConfig(pooled_pts="synthetic1", contact_sizes=(2,), **base),
+        verbose=False,
+    )
+    assert all(np.isfinite(v).all() for v in res.values())
+    res = run_pitch_subsample(
+        SubsampleConfig(nested=True, nested_rounds=1, nested_points=2,
+                        nested_inner=2, pitches=(2.0,), **base),
+        verbose=False,
+    )
+    assert all(np.isfinite(v).all() for v in res.values())
+    with pytest.raises(ValueError, match="pool_train"):
+        run_trial_subsample(
+            SubsampleConfig(pool_train=False, **base), verbose=False
+        )
