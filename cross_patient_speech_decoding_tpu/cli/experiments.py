@@ -1062,6 +1062,48 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True):
     return [np.asarray(a) for a in accs]
 
 
+_CTC_AUGS = (
+    "time_warping", "time_masking", "time_shifting", "noise_jitter",
+    "scaling",
+)
+
+
+def _parse_augmentations(spec: str):
+    """training.augmentations YAML list analog: '' = none, 'all' = the
+    reference default (all five transforms, train_ctc_rnn_config.yaml)."""
+    if not spec:
+        return ()
+    names = _CTC_AUGS if spec == "all" else tuple(
+        s.strip() for s in spec.split(",") if s.strip()
+    )
+    bad = [n for n in names if n not in _CTC_AUGS]
+    if bad:
+        raise ValueError(f"unknown augmentations {bad}; pick from {_CTC_AUGS}")
+    return names
+
+
+def _apply_ctc_augmentations(train_batch, names, key):
+    """Each transform appends one augmented copy of the ORIGINAL pooled
+    train tensors, labels/lengths repeated — the reference datamodules'
+    concat semantics (realtime_datamodule.py:239-244)."""
+    from cross_patient_speech_decoding_tpu.ops import augment as _augs
+
+    x, y, il, ll = train_batch
+    xs, ys, ils, lls = [x], [y], [il], [ll]
+    for name in names:
+        key, sub = jax.random.split(key)
+        xs.append(getattr(_augs, name)(sub, x))
+        ys.append(y)
+        ils.append(il)
+        lls.append(ll)
+    return (
+        jnp.concatenate(xs),
+        jnp.concatenate(ys),
+        jnp.concatenate(ils),
+        jnp.concatenate(lls),
+    )
+
+
 def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     """CTC training/eval for one context; returns test PER per iteration.
 
@@ -1147,6 +1189,12 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
             jnp.asarray(a) for a in test
         )
 
+        aug_names = _parse_augmentations(cfg.augmentations)
+        if aug_names:
+            train_batch = _apply_ctc_augmentations(
+                train_batch, aug_names, jax.random.key(cfg.seed + 500 + it)
+            )
+
         model = RealtimeRNN(
             hidden=cfg.hidden, n_layers=cfg.n_layers, n_classes=11,
             dropout=cfg.dropout, win_size=cfg.win_size, stride=cfg.stride,
@@ -1166,6 +1214,7 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                 key=jax.random.key(cfg.seed + 1000 + it),
                 monitor="per",
                 mode="min",
+                batch_size=cfg.batch_size or None,
                 eval_every=max(1, cfg.epochs // 30),
                 log_path=(
                     _run_log_path(cfg.out, run_name, it)

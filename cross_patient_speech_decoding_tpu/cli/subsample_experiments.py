@@ -83,6 +83,9 @@ class SubsampleConfig:
     pool_train: bool = True
     tar_in_train: bool = True
     pooled_pts: str = "all"
+    # -r control (aligned_decode_cross_patient_subsample.py): replace the
+    # cross-patient tensors with uniform noise
+    random_data: bool = False
     # -cv flag: per-sweep-point nested TPE hyperparameter search
     # (aligned_decode_grid_subsample.py:127-151,335)
     nested: bool = False
@@ -113,6 +116,7 @@ class SubsampleConfig:
 def _setup(cfg: SubsampleConfig):
     tar, cross, n_y, n_a, names = _patients_from_config(
         cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
+        random_data=cfg.random_data,
         trials_per_class=cfg.trials_per_class, return_names=True,
     )
     cross, cross_names = apply_pool_filters(

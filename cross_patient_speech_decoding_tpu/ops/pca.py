@@ -68,9 +68,16 @@ def _resolve_n_active(evr: jax.Array, s: jax.Array, n_components, max_k: int):
         return jnp.minimum(n, max_k).astype(jnp.int32)
 
     if isinstance(n_components, float):
-        if not (0.0 < n_components < 1.0):
-            raise ValueError("float n_components must be in (0, 1)")
-        return _fraction(n_components)
+        if 0.0 < n_components < 1.0:
+            return _fraction(n_components)
+        if n_components >= 1.0 and n_components.is_integer():
+            # float-typed config fields deliver PCA(30)-style fixed counts
+            # as 30.0 (the aligned_decode_svm.py fixed-component pipeline)
+            n_components = int(n_components)
+        else:
+            raise ValueError(
+                "float n_components must be in (0, 1) or a whole count >= 1"
+            )
     if n_components is None:
         n = jnp.sum(s > 0).astype(jnp.int32)  # rank
         return jnp.minimum(n, max_k)

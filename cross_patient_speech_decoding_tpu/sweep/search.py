@@ -38,7 +38,14 @@ class SweepSpace:
     """Search space: log-uniform continuous params + categorical arch params.
 
     Defaults mirror the reference's CTC search space
-    (tune_ctc_rnn.py:212-222 / tune_ctc_rnn_config.yaml).
+    (tune_ctc_rnn.py:212-222 / tune_ctc_rnn_config.yaml). Two deliberate
+    deviations: the reference also samples ``batch_size`` (128/256) —
+    here every trial trains full-batch inside ONE vmapped program, so a
+    per-trial minibatch size is not a shape-compatible knob (and the
+    production trainer exposes ``TrainCTCConfig.batch_size`` separately);
+    and ``gclip_val`` is a single-value categorical {5.0} in both
+    reference spaces, i.e. never actually searched, so it stays a fixed
+    trainer setting.
     """
 
     lr: tuple = (1e-4, 1e-2)  # log-uniform

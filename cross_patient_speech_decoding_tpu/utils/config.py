@@ -230,6 +230,15 @@ class TrainCTCConfig:
     context: str = "aligned"  # chance | patient | unaligned | aligned
     n_iter: int = 50
     epochs: int = 300
+    # minibatch size (training.batch_size: 512 in the reference YAML;
+    # 0 = full-batch — the TPU-native default, one big MXU-friendly step
+    # per epoch instead of the reference's GPU-memory-driven chunking)
+    batch_size: int = 0
+    # train-set augmentations (training.augmentations YAML list): comma
+    # list of time_warping,time_masking,time_shifting,noise_jitter,scaling;
+    # 'all' = the reference default (every transform appends one augmented
+    # copy of the pooled train set, realtime_datamodule.py:239-244)
+    augmentations: str = ""
     hidden: int = 128
     n_layers: int = 2
     dropout: float = 0.3

@@ -499,3 +499,43 @@ def test_subsample_sweeps_pool_flags_and_nested():
         run_trial_subsample(
             SubsampleConfig(pool_train=False, **base), verbose=False
         )
+
+
+def test_ctc_augmentations_and_minibatch():
+    """training.augmentations + batch_size YAML knobs: each named
+    transform appends one augmented copy of the pooled train set
+    (realtime_datamodule.py:239-244), and minibatched training runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _apply_ctc_augmentations,
+        _parse_augmentations,
+    )
+
+    assert _parse_augmentations("") == ()
+    assert len(_parse_augmentations("all")) == 5
+    with pytest.raises(ValueError, match="unknown augmentations"):
+        _parse_augmentations("bogus")
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(6, 20, 4)),
+                    jnp.float32)
+    y = jnp.arange(6, dtype=jnp.int32)[:, None].repeat(3, 1)
+    il = jnp.full((6,), 20, jnp.int32)
+    ll = jnp.full((6,), 3, jnp.int32)
+    xa, ya, ila, lla = _apply_ctc_augmentations(
+        (x, y, il, ll), _parse_augmentations("noise_jitter,scaling"),
+        jax.random.key(0),
+    )
+    assert xa.shape == (18, 20, 4) and ya.shape == (18, 3)
+    np.testing.assert_array_equal(np.asarray(ya), np.tile(np.asarray(y), (3, 1)))
+    # augmented copies differ from the originals
+    assert not np.allclose(np.asarray(xa[6:12]), np.asarray(x))
+
+    pers = run_train_ctc(
+        TrainCTCConfig(context="patient", n_iter=1, epochs=4, hidden=8,
+                       n_layers=1, batch_size=32, augmentations="all",
+                       out=""),
+        verbose=False,
+    )
+    assert np.isfinite(pers).all()

@@ -102,3 +102,20 @@ def test_pca_inverse_transform_matches_sklearn():
     # round trip on the active subspace: transform(inverse(Z)) == Z
     Z2 = pca_transform(st, pca_inverse_transform(st, Z))
     np.testing.assert_allclose(np.asarray(Z2), np.asarray(Z), atol=2e-4)
+
+
+def test_float_integer_count_n_components():
+    """Float-typed config fields deliver PCA(30)-style counts as 30.0;
+    whole floats >= 1 select a fixed component count."""
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.ops.pca import pca_fit
+
+    X = np.random.default_rng(0).normal(size=(40, 12)).astype(np.float32)
+    a = pca_fit(X, 5.0, max_components=8)
+    b = pca_fit(X, 5, max_components=8)
+    assert int(a.n_active) == int(b.n_active) == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(X, 5.5, max_components=8)
