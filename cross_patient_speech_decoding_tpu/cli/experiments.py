@@ -405,18 +405,41 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
     uni = np.unique(np.concatenate(enc))
     strat_ids = [to_class_ids(e, uni)[0] for e in enc]
 
-    # per-patient PCA latents + CCA alignment to target (patient 0)
+    # per-patient PCA latents + CCA alignment to target (patient 0).
+    # CROSS latents are fold-invariant (all cross rows are training data;
+    # process_aligner gets each cross patient's full set) but the TARGET
+    # PCA and every CCA fit are refit per fold on the fold's train rows
+    # only (the reference's per-fold process_aligner, datamodules.py:
+    # 470-472) — an all-rows fit would leak test-fold trials and y_align
+    # labels into the pooled features (same leak class fixed in
+    # run_train_nn). Single-patient runs train on RAW channels with no
+    # dim-red, like the reference's SimpleMicroDataModule path
+    # (train_seq2seq.py:110-116).
     tarX = jnp.asarray(Xs_raw[0], jnp.float32)
-    tar_pca = _fit_pca_latents(tarX, 0.9, max_k)
-    tar_lat = _transform_latents(tar_pca, tarX, max_k)
     ids = [jnp.asarray(i, jnp.int32) for i in strat_ids]
-    feats = [tar_lat]
+    cross_lats = []
     for p in range(1, n_pts):
         X = jnp.asarray(Xs_raw[p], jnp.float32)
         pca = _fit_pca_latents(X, 0.9, max_k)
-        lat = _transform_latents(pca, X, max_k)
-        al = fit_cca_aligner(tar_lat, lat, ids[0], ids[p], len(uni))
-        feats.append(transform_b_to_a(al, lat))
+        cross_lats.append(_transform_latents(pca, X, max_k))
+
+    def fold_feats(train_mask):
+        """[target latents, aligned cross latents...] for ONE fold's
+        train mask; vmappable over the fold axis."""
+        if not cross_lats:
+            return [tarX]  # raw channels, no dim-red (ptSpecific path)
+        lat_t = _transform_latents(
+            _fit_pca_latents(tarX, 0.9, max_k, sample_mask=train_mask),
+            tarX, max_k,
+        )
+        out = [lat_t]
+        for p, lat in enumerate(cross_lats, start=1):
+            al = fit_cca_aligner(lat_t, lat, ids[0], ids[p], len(uni),
+                                 mask_a=train_mask)
+            out.append(transform_b_to_a(al, lat))
+        return out
+
+    fold_feats_batched = jax.jit(jax.vmap(fold_feats))
 
     # labels: map phoneme digits 1..9 -> classes 0..8 (reference subtracts
     # 1 from the full sequence labels, train_seq2seq.py:95-96); start-token
@@ -466,16 +489,46 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
             pooled_fold_arrays,
         )
 
+        aug_names = _parse_augmentations(cfg.augmentations)
         for it in range(len(done_iters), cfg.n_iter):
             tr_m, te_m = stratified_kfold_masks(
                 np.asarray(strat_ids[0]), cfg.n_folds, _iter_rng(it)
             )
+            # leak-free per-fold features, folds stacked on a leading axis
+            fold_list = fold_feats_batched(jnp.asarray(tr_m, jnp.float32))
+            tar_f = fold_list[0]  # (F, N0, T, K)
+            cross_f = list(fold_list[1:])
+            tar_y, cross_y = y_seqs[0], list(y_seqs[1:])
+            te_pass = None
+            if aug_names:
+                # augmented copies of the ALIGNED rows (the reference
+                # augments the pooled aligned train set per fold,
+                # datamodules.py:491-494); train masks tile over the
+                # copies, test masks stay on the original target rows
+                reps = len(aug_names) + 1
+                key_aug = jax.random.key(cfg.seed + 900 + it)
+                keys = jax.random.split(key_aug, 1 + len(cross_f))
+                tar_f = _augment_stack_folds(tar_f, aug_names, keys[0])
+                tar_y = jnp.concatenate([tar_y] * reps)
+                cross_f = [
+                    _augment_stack_folds(f, aug_names, k)
+                    for f, k in zip(cross_f, keys[1:])
+                ]
+                cross_y = [jnp.concatenate([y] * reps) for y in cross_y]
+                # augmented copies of train rows train; augmented copies
+                # of test rows are in NEITHER set
+                tr_m = np.tile(tr_m, (1, reps))
+                te_pass = np.concatenate(
+                    [te_m, np.zeros((te_m.shape[0],
+                                     te_m.shape[1] * (reps - 1)))], axis=1
+                )
             X_pool, y_pool, w, te = pooled_fold_arrays(
-                feats[0].reshape(feats[0].shape[0], T, -1),
-                y_seqs[0],
-                [f.reshape(f.shape[0], T, -1) for f in feats[1:]],
-                y_seqs[1:],
+                tar_f,
+                tar_y,
+                cross_f,
+                cross_y,
                 tr_m,
+                test_masks=te_pass,
             )
             trainer = make_seq2seq_fold_trainer(
                 model, X_pool, y_pool, w, te,
@@ -527,6 +580,8 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
             np.savetxt(cfg.out, out, delimiter=",")
         return out
 
+    aug_names = _parse_augmentations(cfg.augmentations)
+    fold_feats_one = jax.jit(fold_feats)
     for it in range(len(done_iters), cfg.n_iter):
         iter_accs = []
         tr_m, te_m = stratified_kfold_masks(
@@ -535,6 +590,8 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
         for k in range(cfg.n_folds):
             tr_idx = np.where(tr_m[k] > 0)[0]
             te_idx = np.where(te_m[k] > 0)[0]
+            # leak-free per-fold features (PCA/CCA refit on train rows)
+            feats = fold_feats_one(jnp.asarray(tr_m[k], jnp.float32))
             # pooled train: target train rows + all aligned cross rows
             X_train = jnp.concatenate(
                 [feats[0][jnp.asarray(tr_idx)]] + list(feats[1:])
@@ -542,6 +599,14 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
             y_train = jnp.concatenate(
                 [y_seqs[0][jnp.asarray(tr_idx)]] + list(y_seqs[1:])
             )
+            if aug_names:
+                # per-fold augmented copies of the pooled aligned train
+                # set (datamodules.py:491-494)
+                X_train = _augment_stack(
+                    X_train, aug_names,
+                    jax.random.key(cfg.seed + 900 + it * 100 + k),
+                )
+                y_train = jnp.concatenate([y_train] * (len(aug_names) + 1))
             X_test = feats[0][jnp.asarray(te_idx)]
             y_test = y_seqs[0][jnp.asarray(te_idx)]
 
@@ -1082,25 +1147,44 @@ def _parse_augmentations(spec: str):
     return names
 
 
-def _apply_ctc_augmentations(train_batch, names, key):
-    """Each transform appends one augmented copy of the ORIGINAL pooled
-    train tensors, labels/lengths repeated — the reference datamodules'
-    concat semantics (realtime_datamodule.py:239-244)."""
+def _augment_stack(x, names, key):
+    """[x, aug1(x), aug2(x), ...] concatenated on the trial axis — each
+    transform sees the ORIGINAL tensor, the reference datamodules' concat
+    semantics (realtime_datamodule.py:239-244, datamodules.py:491-494)."""
     from cross_patient_speech_decoding_tpu.ops import augment as _augs
 
-    x, y, il, ll = train_batch
-    xs, ys, ils, lls = [x], [y], [il], [ll]
+    outs = [x]
     for name in names:
         key, sub = jax.random.split(key)
-        xs.append(getattr(_augs, name)(sub, x))
-        ys.append(y)
-        ils.append(il)
-        lls.append(ll)
+        outs.append(getattr(_augs, name)(sub, x))
+    return jnp.concatenate(outs)
+
+
+def _augment_stack_folds(x, names, key):
+    """_augment_stack over (F, N, T, C) per-fold stacks: copies concat on
+    the TRIAL axis (axis 1), each fold row drawing independently."""
+    Fx, N, T, C = x.shape
+    outs = [x]
+    for name in names:
+        from cross_patient_speech_decoding_tpu.ops import augment as _augs
+
+        key, sub = jax.random.split(key)
+        outs.append(
+            getattr(_augs, name)(sub, x.reshape(Fx * N, T, C))
+            .reshape(Fx, N, T, C)
+        )
+    return jnp.concatenate(outs, axis=1)
+
+
+def _apply_ctc_augmentations(train_batch, names, key):
+    """Augmented copies of the pooled CTC train set; labels/lengths repeat."""
+    x, y, il, ll = train_batch
+    reps = len(names) + 1
     return (
-        jnp.concatenate(xs),
-        jnp.concatenate(ys),
-        jnp.concatenate(ils),
-        jnp.concatenate(lls),
+        _augment_stack(x, names, key),
+        jnp.concatenate([y] * reps),
+        jnp.concatenate([il] * reps),
+        jnp.concatenate([ll] * reps),
     )
 
 

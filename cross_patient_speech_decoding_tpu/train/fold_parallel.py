@@ -43,12 +43,18 @@ def make_seq2seq_fold_trainer(
 
     Args:
         model: a Seq2SeqRNN (or compatible) flax module.
-        X_pool: (N, T, C) pooled features (target + aligned cross rows).
-        y_pool: (N, L) pooled sequence labels.
+        X_pool: (N, T, C) pooled features (target + aligned cross rows)
+            shared by every fold, or (F, N, T, C) per-fold features (the
+            leak-free regime where the PCA/CCA alignment is refit on each
+            fold's train rows, the reference's per-fold process_aligner).
+        y_pool: (N, L) pooled sequence labels (fold-invariant).
         train_weights: (F, N) per-fold sample weights for the loss.
         test_masks: (F, N) per-fold eval masks (target held-out rows).
     """
     F = train_weights.shape[0]
+    per_fold_x = X_pool.ndim == 4
+    x_axis = 0 if per_fold_x else None
+    x_example = X_pool[0] if per_fold_x else X_pool
     sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
     tx = optax.chain(
         optax.clip_by_global_norm(clip),
@@ -58,7 +64,7 @@ def make_seq2seq_fold_trainer(
     def init_one(key):
         variables = model.init(
             {"params": key, "tf": jax.random.key(0)},
-            X_pool[:1], y_pool[:1], teacher_forcing,
+            x_example[:1], y_pool[:1], teacher_forcing,
         )
         return variables["params"], variables.get("batch_stats", {})
 
@@ -80,13 +86,13 @@ def make_seq2seq_fold_trainer(
                 put(params), put(batch_stats), put(opt_states)
             )
 
-    def loss_fn(p, bs, w, key):
+    def loss_fn(p, bs, x, w, key):
         k_tf, k_do = jax.random.split(key)
         variables = {"params": p}
         if bs:
             variables["batch_stats"] = bs
         logits, updates = model.apply(
-            variables, X_pool, y_pool, teacher_forcing, False,
+            variables, x, y_pool, teacher_forcing, False,
             mutable=["batch_stats"] if bs else [],
             rngs={"tf": k_tf, "dropout": k_do},
         )
@@ -99,18 +105,18 @@ def make_seq2seq_fold_trainer(
         new_bs = updates["batch_stats"] if bs else bs
         return loss, new_bs
 
-    def epoch_one(p, o, bs, w, key):
+    def epoch_one(p, o, bs, x, w, key):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bs, w, key
+            p, bs, x, w, key
         )
         updates, new_o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), new_o, new_bs, loss
 
-    def eval_one(p, bs, te):
+    def eval_one(p, bs, x, te):
         variables = {"params": p}
         if bs:
             variables["batch_stats"] = bs
-        logits = model.apply(variables, X_pool, None, 0.0, True)
+        logits = model.apply(variables, x, None, 0.0, True)
         preds = jnp.argmax(logits, axis=-1).reshape(-1)
         labels = y_pool.reshape(-1)
         L = y_pool.shape[1]
@@ -121,16 +127,18 @@ def make_seq2seq_fold_trainer(
         def epoch_step(carry, key):
             p, o, bs = carry
             fold_keys = jax.random.split(key, F)
-            p, o, bs, losses = jax.vmap(epoch_one)(
-                p, o, bs, train_weights, fold_keys
-            )
+            p, o, bs, losses = jax.vmap(
+                epoch_one, in_axes=(0, 0, 0, x_axis, 0, 0)
+            )(p, o, bs, X_pool, train_weights, fold_keys)
             return (p, o, bs), losses
 
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
         (p, o, bs), _ = jax.lax.scan(
             epoch_step, (params, opt_states, batch_stats), ekeys
         )
-        accs = jax.vmap(eval_one)(p, bs, test_masks)
+        accs = jax.vmap(eval_one, in_axes=(0, 0, x_axis, 0))(
+            p, bs, X_pool, test_masks
+        )
         return accs, p
 
     def train_folds_scan_rnn(epochs: int):
@@ -148,17 +156,29 @@ def make_seq2seq_fold_trainer(
 
 
 def pooled_fold_arrays(tar_feats, tar_y, cross_feats, cross_ys,
-                       train_masks: np.ndarray):
+                       train_masks: np.ndarray,
+                       test_masks: np.ndarray | None = None):
     """Assemble (X_pool, y_pool, train_weights, test_masks) from per-fold
-    target masks + always-in-train cross data."""
-    X_pool = jnp.concatenate([tar_feats] + list(cross_feats), axis=0)
+    target masks + always-in-train cross data.
+
+    ``test_masks`` defaults to the train complement over the target rows;
+    pass it explicitly when some target rows belong to NEITHER set (e.g.
+    augmented copies of test rows, which must be excluded entirely).
+
+    Accepts 3-D per-trial features shared by every fold, or 4-D
+    (F, N, T, K) per-fold stacks (leak-free refit regime) — the trial
+    axis is then axis 1."""
+    trial_axis = 1 if tar_feats.ndim == 4 else 0
+    X_pool = jnp.concatenate([tar_feats] + list(cross_feats), axis=trial_axis)
     y_pool = jnp.concatenate([tar_y] + list(cross_ys), axis=0)
     F, N0 = train_masks.shape
-    n_cross = X_pool.shape[0] - N0
+    n_cross = X_pool.shape[trial_axis] - N0
+    if test_masks is None:
+        test_masks = 1.0 - train_masks
     w = np.concatenate(
         [train_masks, np.ones((F, n_cross), train_masks.dtype)], axis=1
     )
     te = np.concatenate(
-        [1.0 - train_masks, np.zeros((F, n_cross), train_masks.dtype)], axis=1
+        [test_masks, np.zeros((F, n_cross), train_masks.dtype)], axis=1
     )
     return X_pool, y_pool, jnp.asarray(w, jnp.float32), jnp.asarray(te, jnp.float32)

@@ -158,6 +158,10 @@ class TrainSeq2SeqConfig:
     decay_iters: int = 20
     pooled: bool = True  # cross-patient aligned pooling
     fold_parallel: bool = True  # train all folds as one vmapped program
+    # augmented copies of the pooled ALIGNED train rows (the reference's
+    # post-alignment augmentation list, train_seq2seq.py:91:
+    # time_shifting,noise_jitter,scaling); '' = none, 'all' = all five
+    augmentations: str = ""
     log_metrics: bool = True  # per-epoch (or per-iteration) CSV logs
     trace: bool = False  # device profile of the first iteration
     seed: int = 0

@@ -539,3 +539,54 @@ def test_ctc_augmentations_and_minibatch():
         verbose=False,
     )
     assert np.isfinite(pers).all()
+
+def test_seq2seq_augmentations_both_paths(tmp_path):
+    """training.augmentations in the seq2seq driver: augmented copies of
+    the pooled ALIGNED train rows per fold (datamodules.py:491-494), in
+    both the fold-parallel vmapped program and the sequential loop.
+    Augmented copies of TEST rows must land in neither train nor eval."""
+    base = dict(n_iter=1, n_folds=2, epochs=3, hidden=12, n_filters=8,
+                augmentations="noise_jitter,scaling")
+    accs_fp = run_train_seq2seq(
+        TrainSeq2SeqConfig(out=str(tmp_path / "fp.csv"), **base),
+        verbose=False,
+    )
+    assert accs_fp.shape == (2,) and np.isfinite(accs_fp).all()
+    accs_seq = run_train_seq2seq(
+        TrainSeq2SeqConfig(out=str(tmp_path / "sq.csv"),
+                           fold_parallel=False, **base),
+        verbose=False,
+    )
+    assert accs_seq.shape == (2,) and np.isfinite(accs_seq).all()
+
+
+def test_pooled_fold_arrays_per_fold_and_test_mask_exclusion():
+    """4-D per-fold feature stacks concat on the trial axis; an explicit
+    test_masks excludes augmented test-row copies from BOTH sets."""
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+        pooled_fold_arrays,
+    )
+
+    F, N0, T, K = 2, 4, 5, 3
+    tar = jnp.zeros((F, 2 * N0, T, K))      # originals + 1 augmented copy
+    cross = [jnp.ones((F, 6, T, K))]
+    tar_y = jnp.zeros((2 * N0, 3), jnp.int32)
+    cross_y = [jnp.ones((6, 3), jnp.int32)]
+    tr = np.tile(np.asarray([[1, 1, 0, 0], [0, 0, 1, 1]], np.float32),
+                 (1, 2))                     # augmented train copies train
+    te_orig = 1.0 - tr[:, :N0]
+    te = np.concatenate([te_orig, np.zeros((F, N0), np.float32)], axis=1)
+    X, y, w, te_out = pooled_fold_arrays(tar, tar_y, cross, cross_y, tr,
+                                         test_masks=te)
+    assert X.shape == (F, 2 * N0 + 6, T, K)
+    assert y.shape == (2 * N0 + 6, 3)
+    assert w.shape == te_out.shape == (F, 2 * N0 + 6)
+    # augmented copies of test rows: weight 0 AND eval-mask 0
+    aug_test = (tr[:, N0:] == 0)
+    assert np.all(np.asarray(w)[:, N0:2 * N0][aug_test] == 0)
+    assert np.all(np.asarray(te_out)[:, N0:2 * N0][aug_test] == 0)
+    # cross rows always train, never eval
+    assert np.all(np.asarray(w)[:, 2 * N0:] == 1)
+    assert np.all(np.asarray(te_out)[:, 2 * N0:] == 0)
