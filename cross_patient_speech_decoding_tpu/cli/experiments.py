@@ -871,6 +871,23 @@ def _with_labels(X, y, T=None):
     )
 
 
+def _chance_labels(cfg: TrainCTCConfig, y: np.ndarray,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Chance-context label null: permutation (train_ctc_rnn.py:155-158)
+    or fresh random sequences (tune_ctc_rnn.py make_chance_labels)."""
+    if cfg.chance_mode == "random":
+        from cross_patient_speech_decoding_tpu.utils.labels import (
+            make_chance_labels,
+        )
+
+        return make_chance_labels(rng, len(y), y.shape[1], n_sil=cfg.n_sil)
+    if cfg.chance_mode != "permute":
+        raise ValueError(
+            f"chance_mode must be 'permute' or 'random', got {cfg.chance_mode!r}"
+        )
+    return y[rng.permutation(len(y))]
+
+
 def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
     """Reference CTC ingestion from the HDF5 file (train_ctc_rnn.py:88-150).
 
@@ -905,7 +922,7 @@ def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
         X_t, y_t = X_t[keep], y_t[keep]
 
     if cfg.context == "chance":
-        y_t = y_t[rng.permutation(len(y_t))]
+        y_t = _chance_labels(cfg, y_t, rng)
 
     pooled = cfg.context in ("unaligned", "aligned")
     cross = []
@@ -1009,7 +1026,7 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
     pts = _synthetic_ctc(seed=cfg.seed)
     X_t, y_t, il_t, ll_t = pts[0]
     if cfg.context == "chance":
-        y_t = y_t[rng.permutation(len(y_t))]
+        y_t = _chance_labels(cfg, y_t, rng)
         return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1], None
 
     if cfg.context == "patient":
@@ -1310,8 +1327,19 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         if cfg.decode == "beam":
             per = _beam_rescore_per(model, res.best_state, test_batch, cfg)
         pers.append(per)
+        extra = None
+        if cfg.save_logits:
+            # per-iteration test log-probs, the reference results-h5
+            # 'logits' dataset (train_ctc_rnn.py:215-224, 483)
+            lp = jax.jit(
+                lambda s, x: jax.nn.log_softmax(
+                    model.apply({"params": s.params}, x, True), axis=-1
+                )
+            )(res.best_state, test_batch[0])
+            extra = {"logits": np.asarray(lp)}
         if cfg.out:
-            append_results_pkl(cfg.out, np.asarray([per]), params=vars(cfg))
+            append_results_pkl(cfg.out, np.asarray([per]), params=vars(cfg),
+                               extra=extra)
         if verbose:
             print(f"iter {it} [{cfg.context}]: test PER {per:.1f}%", flush=True)
     return np.asarray(pers)

@@ -59,11 +59,13 @@ from cross_patient_speech_decoding_tpu.ops.metrics import (
     per_batch,
     pearson_r,
     pt_corr,
+    pt_corr_dims,
     pt_corr_multi,
 )
 from cross_patient_speech_decoding_tpu.ops.signal import (
     car,
     compute_bin_power,
+    filter_hg_bin,
     fir_filter,
     iir_filter_stateful,
     init_stream_state,

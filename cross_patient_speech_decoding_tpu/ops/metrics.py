@@ -80,22 +80,89 @@ def pearson_r(x: jax.Array, y: jax.Array, axis: int = -1) -> jax.Array:
     return num / jnp.maximum(den, jnp.finfo(x.dtype).tiny)
 
 
+def _pearson_p_two_sided(r: jax.Array, n: int) -> jax.Array:
+    """Two-sided p-value of a Pearson r over n samples (t-distribution,
+    the scipy.stats.pearsonr null): p = I_{df/(df+t^2)}(df/2, 1/2)."""
+    df = float(n - 2)
+    r2 = jnp.clip(r * r, 0.0, 1.0)
+    t2 = r2 * df / jnp.maximum(1.0 - r2, 0.0)  # inf at |r| == 1 -> p = 0
+    return jax.scipy.special.betainc(df / 2.0, 0.5, df / (df + t2))
+
+
 def pt_corr(
+    target: jax.Array,
+    to_corr: jax.Array,
+    class_mask: jax.Array | None = None,
+    p_vals: bool = False,
+):
+    """Alignment quality: per-condition Pearson r between aligned latents.
+
+    The reference contract (alignment/metrics.py:41-68): each condition's
+    (T, K) trajectory is flattened across time and features and correlated,
+    giving ONE r per condition.
+
+    Args:
+        target, to_corr: (n_classes, T, K) aligned condition-averaged
+            trajectories.
+        class_mask: optional (n_classes,) validity (masked shared-class
+            pipeline extension); invalid conditions get r = 0, p = 1.
+        p_vals: also return two-sided p-values (``pearsonr`` null).
+
+    Returns:
+        (n_classes,) per-condition r, or (r, p) when ``p_vals``.
+    """
+    C = target.shape[0]
+    a = target.reshape(C, -1)
+    b = to_corr.reshape(C, -1)
+    r = pearson_r(a, b, axis=-1)
+    if class_mask is not None:
+        r = r * class_mask.astype(r.dtype)
+    if not p_vals:
+        return r
+    p = _pearson_p_two_sided(r, a.shape[1])
+    if class_mask is not None:
+        p = jnp.where(class_mask > 0, p, 1.0)
+    return r, p
+
+
+def pt_corr_multi(
+    target: jax.Array,
+    to_corr_list,
+    class_mask: jax.Array | None = None,
+    p_vals: bool = False,
+):
+    """``pt_corr`` of a target view against several comparison views
+    (reference ``pt_corr_multi``, alignment/metrics.py:12-39).
+
+    Args:
+        target: (n_classes, T, K) reference trajectories.
+        to_corr_list: sequence of same-shape comparison views.
+
+    Returns:
+        (n_views, n_classes) per-condition correlations, or a
+        (correlations, p_values) pair of that shape when ``p_vals``.
+    """
+    out = [pt_corr(target, c, class_mask, p_vals) for c in to_corr_list]
+    if p_vals:
+        return (
+            jnp.stack([o[0] for o in out]),
+            jnp.stack([o[1] for o in out]),
+        )
+    return jnp.stack(out)
+
+
+def pt_corr_dims(
     L_a: jax.Array,
     L_b: jax.Array,
     class_mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Alignment quality: mean Pearson r between condition-averaged latents.
-
-    Args:
-        L_a, L_b: (n_classes, T, K) aligned condition-averaged trajectories.
-        class_mask: optional (n_classes,) validity (shared classes).
+    """Per-latent-dim alignment quality: Pearson r along time for each
+    (condition, dim), averaged over valid conditions — the per-dimension
+    companion to :func:`pt_corr` used by the alignment-quality figures.
 
     Returns:
-        (K,) per-latent-dim correlation averaged over valid classes, the
-        reference ``pt_corr`` contract (alignment/metrics.py:12-38).
+        (K,) per-dim correlation averaged over valid classes.
     """
-    C = L_a.shape[0]
     r = pearson_r(
         jnp.moveaxis(L_a, 1, -1), jnp.moveaxis(L_b, 1, -1), axis=-1
     )  # (C, K)
@@ -103,30 +170,6 @@ def pt_corr(
         return jnp.mean(r, axis=0)
     w = class_mask.astype(r.dtype)[:, None]
     return jnp.sum(r * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-
-
-def pt_corr_multi(
-    latents,
-    class_mask: jax.Array | None = None,
-) -> jax.Array:
-    """Pairwise alignment quality across >2 views
-    (reference ``pt_corr_multi``, alignment/metrics.py:41-68).
-
-    Args:
-        latents: sequence of (n_classes, T, K) aligned condition-averaged
-            trajectories, one per patient/view.
-
-    Returns:
-        (n_pairs, K) per-dim correlations for every unordered view pair,
-        ordered (0,1), (0,2), ..., (1,2), ...
-    """
-    import itertools
-
-    rows = [
-        pt_corr(latents[i], latents[j], class_mask)
-        for i, j in itertools.combinations(range(len(latents)), 2)
-    ]
-    return jnp.stack(rows)
 
 
 def edit_distance(

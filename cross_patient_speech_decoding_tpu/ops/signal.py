@@ -119,6 +119,42 @@ def fir_filter(data: jax.Array, coefs: jax.Array) -> jax.Array:
     return out.transpose(0, 2, 1)
 
 
+def filter_hg_bin(
+    data: jax.Array,
+    coefs,
+    band_ics: jax.Array | None = None,
+):
+    """Route a bin through IIR or FIR bandpass filtering by coefficient
+    shape — the reference ``filter_HG_bin`` dispatcher
+    (realtime_sim/realtime_processing.py:59-81).
+
+    Args:
+        data: (C, T) chunk.
+        coefs: IIR as a ``(b, a)`` pair of (n_bands, taps) rows or a
+            stacked (n_bands, taps, 2) array ([..., 0] = a, [..., 1] = b,
+            the reference layout); FIR as a single (n_bands, taps) array.
+        band_ics: carried IIR state (n_bands, C, order), or None (zeros).
+
+    Returns:
+        (filtered (C, T, n_bands), new_state-or-None).
+    """
+    if isinstance(coefs, (tuple, list)):
+        b, a = coefs
+    else:
+        coefs = jnp.asarray(coefs)
+        if coefs.ndim == 2:  # FIR
+            return fir_filter(data, coefs), None
+        if coefs.ndim != 3:
+            raise ValueError("coefs must be 2-D (FIR) or 3-D / (b, a) (IIR)")
+        a, b = coefs[..., 0], coefs[..., 1]
+    b, a = jnp.asarray(b), jnp.asarray(a)
+    if band_ics is None:
+        band_ics = jnp.zeros(
+            (b.shape[0], data.shape[0], b.shape[1] - 1), data.dtype
+        )
+    return iir_filter_stateful(data, b, a, band_ics)
+
+
 def compute_bin_power(filtered: jax.Array) -> jax.Array:
     """RMS power per channel over (time, bands). (C, T, bands) -> (C,)."""
     return jnp.sqrt(jnp.mean(jnp.square(filtered), axis=(1, 2)))

@@ -257,6 +257,14 @@ class TrainCTCConfig:
     test_frac: float = 0.2
     decode: str = "greedy"  # greedy | beam (prefix beam rescoring at test)
     beam_size: int = 100
+    # chance-context label null: 'permute' shuffles the real labels across
+    # trials (train_ctc_rnn.py:155-158, marginal-preserving); 'random'
+    # draws fresh uniform phoneme sequences (tune_ctc_rnn.py
+    # make_chance_labels)
+    chance_mode: str = "permute"
+    # persist per-iteration test-set log-probs in the results pkl like the
+    # reference's results-h5 'logits' dataset (train_ctc_rnn.py:448-491)
+    save_logits: bool = False
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
     trace: bool = False  # device profile of the first iteration
     seed: int = 0

@@ -29,6 +29,35 @@ def phon_to_artic(phon: np.ndarray) -> np.ndarray:
     return PHON_TO_ARTIC[np.asarray(phon, dtype=np.int64)]
 
 
+def make_chance_labels(
+    rng: np.random.Generator,
+    n_trials: int,
+    seq_length: int,
+    n_phonemes: int = 9,
+    n_sil: int = 0,
+    sil_token: int = 10,
+) -> np.ndarray:
+    """Fresh uniform-random phoneme sequences with sil padding — the tune
+    scripts' chance mode (`scripts/tune_ctc_rnn.py:make_chance_labels`,
+    SIL_TOKEN=10 at :47). Distinct from the trainer's permutation chance
+    (`train_ctc_rnn.py:155-158`, which preserves the label marginals).
+
+    Returns:
+        (n_trials, seq_length) int32 labels; ``n_sil`` sil tokens on each
+        side, random phonemes 1..n_phonemes in between.
+    """
+    inner = seq_length - 2 * n_sil
+    if inner <= 0:
+        raise ValueError("seq_length must exceed 2 * n_sil")
+    labels = rng.integers(
+        1, n_phonemes + 1, size=(n_trials, inner)
+    ).astype(np.int32)
+    if n_sil:
+        pad = np.full((n_trials, n_sil), sil_token, np.int32)
+        labels = np.concatenate([pad, labels, pad], axis=1)
+    return labels
+
+
 def artic_labels(artic: np.ndarray) -> np.ndarray:
     """Articulator numbers (1-4) -> name strings (notebook
     ``articic_nums2seq``, e.g. `supp/supp_fig_8.ipynb`)."""

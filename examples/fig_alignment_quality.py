@@ -32,7 +32,10 @@ def main(out_dir="results/figs"):
         fit_cca_aligner,
         transform_b_to_a,
     )
-    from cross_patient_speech_decoding_tpu.ops.metrics import pt_corr
+    from cross_patient_speech_decoding_tpu.ops.metrics import (
+        pt_corr,
+        pt_corr_dims,
+    )
     from cross_patient_speech_decoding_tpu.utils.visualization import (
         plot_latent_trajectories_1d,
         plot_latent_trajectories_2d,
@@ -58,7 +61,9 @@ def main(out_dir="results/figs"):
 
     avg_a, _ = cnd_avg(lats[0], ids[0], ds.n_classes)
     avg_b, _ = cnd_avg(aligned_b, ids[1], ds.n_classes)
-    r = np.asarray(pt_corr(avg_a, avg_b))
+    r_cnd = np.asarray(pt_corr(avg_a, avg_b))  # (n_classes,) reference contract
+    print(f"per-condition Pearson r: {np.round(r_cnd, 3)}")
+    r = np.asarray(pt_corr_dims(avg_a, avg_b))
     print(f"per-dim condition-avg Pearson r (top 6): {np.round(r[:6], 3)}")
 
     plot_latent_trajectories_1d(

@@ -590,3 +590,49 @@ def test_pooled_fold_arrays_per_fold_and_test_mask_exclusion():
     # cross rows always train, never eval
     assert np.all(np.asarray(w)[:, 2 * N0:] == 1)
     assert np.all(np.asarray(te_out)[:, 2 * N0:] == 0)
+
+
+def test_chance_mode_random_and_labels_util(tmp_path):
+    """chance_mode='random' draws fresh uniform sequences (the tune
+    scripts' make_chance_labels null) instead of permuting."""
+    from cross_patient_speech_decoding_tpu.utils.labels import (
+        make_chance_labels,
+    )
+
+    rng = np.random.default_rng(0)
+    labs = make_chance_labels(rng, 50, 7, n_sil=2)
+    assert labs.shape == (50, 7)
+    assert (labs[:, :2] == 10).all() and (labs[:, -2:] == 10).all()
+    inner = labs[:, 2:-2]
+    assert inner.min() >= 1 and inner.max() <= 9
+
+    cfg = TrainCTCConfig(context="chance", chance_mode="random", n_iter=1,
+                         epochs=2, hidden=8, n_layers=1, out="")
+    pers = run_train_ctc(cfg, verbose=False)
+    assert np.isfinite(pers).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_train_ctc(
+            TrainCTCConfig(context="chance", chance_mode="bogus", n_iter=1,
+                           epochs=2, hidden=8, n_layers=1, out=""),
+            verbose=False,
+        )
+
+
+def test_ctc_save_logits(tmp_path):
+    """save_logits persists per-iteration test log-probs in the results
+    pkl (the reference results-h5 'logits' dataset)."""
+    import pickle
+
+    out = tmp_path / "ctc.pkl"
+    cfg = TrainCTCConfig(context="patient", n_iter=1, epochs=2, hidden=8,
+                         n_layers=1, out=str(out), save_logits=True,
+                         log_metrics=False)
+    run_train_ctc(cfg, verbose=False)
+    res = pickle.load(open(out, "rb"))
+    lg = res["extra"][0]["logits"]
+    assert lg.ndim == 3 and lg.shape[-1] == 11  # (n_test, n_win, classes)
+    # log-softmax rows normalize
+    np.testing.assert_allclose(np.exp(lg).sum(-1), 1.0, atol=1e-4)

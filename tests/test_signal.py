@@ -107,3 +107,43 @@ def test_process_hg_chunk_chain():
             filt[:, :, i], zi[i] = sps.lfilter(b[i], a[i], ref, zi=zi[i])
         want = np.sqrt(np.mean(filt**2, axis=(1, 2)))
         np.testing.assert_allclose(np.asarray(p_got), want, atol=1e-4)
+
+
+def test_filter_hg_bin_routes_fir_and_iir():
+    """filter_hg_bin dispatches on coefficient shape like the reference
+    router (realtime_processing.py:59-81)."""
+    from cross_patient_speech_decoding_tpu.ops.signal import filter_hg_bin
+
+    rng = np.random.default_rng(3)
+    C, T = 3, 40
+    x = rng.normal(size=(C, T))
+
+    # FIR: 2-D coefs -> (filtered, None)
+    coefs = sps.firwin(9, [0.2, 0.45], pass_zero=False)[None, :].repeat(2, 0)
+    got, state = filter_hg_bin(jnp.asarray(x), jnp.asarray(coefs))
+    assert state is None
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(fir_filter(jnp.asarray(x), jnp.asarray(coefs))),
+        atol=1e-6,
+    )
+
+    # IIR as a (b, a) pair with carried state across two chunks
+    b, a = _bands()
+    zi = init_stream_state(b, a, C).zi
+    y1, z1 = filter_hg_bin(jnp.asarray(x[:, :20]), (b, a), zi)
+    y2, z2 = filter_hg_bin(jnp.asarray(x[:, 20:]), (b, a), z1)
+    want, wzf = iir_filter_stateful(jnp.asarray(x), jnp.asarray(b), jnp.asarray(a), zi)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
+        np.asarray(want), atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(wzf), atol=1e-5)
+
+    # IIR as the reference's stacked (bands, taps, [a, b]) layout, zi=None
+    stacked = np.stack([a, b], axis=-1)
+    y3, z3 = filter_hg_bin(jnp.asarray(x), stacked)
+    want0, _ = iir_filter_stateful(
+        jnp.asarray(x), jnp.asarray(b), jnp.asarray(a),
+        jnp.zeros((b.shape[0], C, b.shape[1] - 1)),
+    )
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(want0), atol=1e-5)

@@ -11,7 +11,11 @@ from cross_patient_speech_decoding_tpu.data.surrogates import (
     mode_shuffle_surrogate,
     tme_surrogate,
 )
-from cross_patient_speech_decoding_tpu.ops.metrics import pt_corr, pt_corr_multi
+from cross_patient_speech_decoding_tpu.ops.metrics import (
+    pt_corr,
+    pt_corr_dims,
+    pt_corr_multi,
+)
 from cross_patient_speech_decoding_tpu.ops.sequences import (
     flatten_fold_preds,
     one_hot_seq,
@@ -34,7 +38,25 @@ def test_flatten_fold_preds():
     assert out.shape == (10,)
 
 
-def test_pt_corr_and_multi():
+def test_pt_corr_matches_scipy_pearsonr():
+    """Reference contract (alignment/metrics.py:41-68): one r (and p) per
+    condition over the flattened (T, K) trajectory."""
+    from scipy.stats import pearsonr
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(5, 20, 4))
+    a = (base + 0.3 * rng.normal(size=base.shape)).astype(np.float32)
+    b = (base + 0.3 * rng.normal(size=base.shape)).astype(np.float32)
+    r, p = pt_corr(jnp.asarray(a), jnp.asarray(b), p_vals=True)
+    r, p = np.asarray(r), np.asarray(p)
+    assert r.shape == (5,) and p.shape == (5,)
+    for cnd in range(5):
+        r_sp, p_sp = pearsonr(a[cnd].ravel(), b[cnd].ravel())
+        assert abs(r[cnd] - r_sp) < 1e-5
+        assert abs(p[cnd] - p_sp) < 1e-4
+
+
+def test_pt_corr_multi_and_dims():
     rng = np.random.default_rng(0)
     base = rng.normal(size=(5, 20, 4))
     a = base + 0.05 * rng.normal(size=base.shape)
@@ -42,10 +64,22 @@ def test_pt_corr_and_multi():
     c = rng.normal(size=base.shape)
     r_ab = np.asarray(pt_corr(jnp.asarray(a), jnp.asarray(b)))
     assert (r_ab > 0.9).all()
-    multi = np.asarray(pt_corr_multi([jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)]))
-    assert multi.shape == (3, 4)
+    # reference pt_corr_multi: target vs a LIST of comparison views
+    multi = np.asarray(
+        pt_corr_multi(jnp.asarray(a), [jnp.asarray(b), jnp.asarray(c)])
+    )
+    assert multi.shape == (2, 5)  # (n_views, n_conditions)
     assert multi[0].mean() > 0.9  # (a,b) aligned
     assert abs(multi[1].mean()) < 0.5  # (a,c) unrelated
+    rs, ps = pt_corr_multi(
+        jnp.asarray(a), [jnp.asarray(b), jnp.asarray(c)], p_vals=True
+    )
+    assert np.asarray(ps).shape == (2, 5)
+    assert (np.asarray(ps)[0] < 0.01).all()  # aligned views: tiny p
+    # per-dim companion used by the alignment-quality figures
+    dims = np.asarray(pt_corr_dims(jnp.asarray(a), jnp.asarray(b)))
+    assert dims.shape == (4,)
+    assert (dims > 0.9).all()
 
 
 def test_tme_preserves_mode_covs_destroys_latents():
