@@ -61,12 +61,16 @@ SearchSpace = Mapping[str, Float | Categorical]
 
 
 def default_ctc_space() -> dict:
-    """The reference CTC search space (tune_ctc_rnn.py:212-222) as specs."""
+    """The reference CTC search space as specs: arch choices from the
+    random-search space (tune_ctc_rnn.py:212-222), continuous ranges from
+    the BOHB ConfigurationSpace (:224-232, lr log-uniform 1e-5..1e-2,
+    l2_reg log-uniform 1e-6..1e-3). ``batch_size``/``gclip_val`` are
+    deliberately fixed trainer settings (see sweep.search.SweepSpace)."""
     return {
-        "lr": Float(1e-4, 1e-2, log=True),
+        "lr": Float(1e-5, 1e-2, log=True),
         "weight_decay": Float(1e-6, 1e-3, log=True),
-        "hidden": Categorical((64, 128, 256)),
-        "n_layers": Categorical((1, 2, 3)),
+        "hidden": Categorical((128, 256, 512)),
+        "n_layers": Categorical((2, 3, 4, 5)),
         "dropout": Categorical((0.2, 0.3, 0.4)),
     }
 

@@ -48,10 +48,10 @@ class SweepSpace:
     trainer setting.
     """
 
-    lr: tuple = (1e-4, 1e-2)  # log-uniform
-    weight_decay: tuple = (1e-6, 1e-3)  # log-uniform
-    hidden: tuple = (64, 128, 256)
-    n_layers: tuple = (1, 2, 3)
+    lr: tuple = (1e-4, 1e-2)  # log-uniform (reference choices 1e-4..5e-3)
+    weight_decay: tuple = (1e-6, 1e-3)  # log-uniform (reference l2_reg)
+    hidden: tuple = (128, 256, 512)  # tune_ctc_rnn.py:213
+    n_layers: tuple = (2, 3, 4, 5)  # tune_ctc_rnn.py:214
     dropout: tuple = (0.2, 0.3, 0.4)
 
 

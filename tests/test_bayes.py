@@ -47,8 +47,8 @@ class TestSpaceSpecs:
     def test_sample_random_in_range(self):
         rng = np.random.default_rng(0)
         for cfg in sample_random(SPACE, 50, rng):
-            assert 1e-4 <= cfg["lr"] <= 1e-2
-            assert cfg["hidden"] in (64, 128, 256)
+            assert 1e-5 <= cfg["lr"] <= 1e-2
+            assert cfg["hidden"] in (128, 256, 512)
             assert cfg["dropout"] in (0.2, 0.3, 0.4)
 
     def test_bucket_generic_space(self):
