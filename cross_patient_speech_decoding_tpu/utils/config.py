@@ -152,10 +152,11 @@ class TrainSeq2SeqConfig:
     n_enc_layers: int = 1
     n_dec_layers: int = 1
     kernel_size: int = 10
-    lr: float = 1e-3
-    weight_decay: float = 1e-5
-    clip: float = 0.5
-    decay_iters: int = 20
+    lr: float = 1e-4  # train_seq2seq.py:135
+    weight_decay: float = 1e-5  # l2_reg, train_seq2seq.py:136
+    clip: float = 0.5  # gclip_val, train_seq2seq.py:121
+    # LinearLR decays over max_epochs in the reference (train_seq2seq.py:169)
+    decay_iters: int = 500
     pooled: bool = True  # cross-patient aligned pooling
     fold_parallel: bool = True  # train all folds as one vmapped program
     # augmented copies of the pooled ALIGNED train rows (the reference's
@@ -240,20 +241,22 @@ class TrainCTCConfig:
     batch_size: int = 0
     # train-set augmentations (training.augmentations YAML list): comma
     # list of time_warping,time_masking,time_shifting,noise_jitter,scaling;
-    # 'all' = the reference default (every transform appends one augmented
-    # copy of the pooled train set, realtime_datamodule.py:239-244)
+    # 'all' = every transform appending one augmented copy of the pooled
+    # train set (realtime_datamodule.py:239-244). NOTE the reference YAML
+    # ships with all five ENABLED — pass augmentations=all for the exact
+    # reference training recipe; '' keeps the default run 6x lighter.
     augmentations: str = ""
     hidden: int = 128
     n_layers: int = 2
     dropout: float = 0.3
     win_size: int = 14
     stride: int = 4
-    lr: float = 1e-3
-    weight_decay: float = 1e-5
+    lr: float = 1e-3  # training.learning_rate (train_ctc_rnn_config.yaml)
+    weight_decay: float = 1e-4  # model.l2_reg in the reference YAML
     decay_steps: int = 100
-    clip: float = 1.0
+    clip: float = 5.0  # training.gclip_val in the reference YAML
     n_components: float = 0.9
-    val_frac: float = 0.1
+    val_frac: float = 0.2  # training.val_size in the reference YAML
     test_frac: float = 0.2
     decode: str = "greedy"  # greedy | beam (prefix beam rescoring at test)
     beam_size: int = 100
