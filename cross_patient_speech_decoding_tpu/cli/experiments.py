@@ -303,15 +303,23 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
             )
             for j in range(k)
         ]
-        tr = np.concatenate([p[0] for p in pairs], axis=0)
-        te = np.concatenate([p[1] for p in pairs], axis=0)
         if cfg.trial_subsample < 1.0:
             # -tss: stratified per-fold target-train subsample
-            # (aligned_decode_svm_ncv.py:351-360)
-            tr = stratified_train_subsample_masks(
-                tr, y_host, cfg.trial_subsample,
-                np.random.default_rng(cfg.seed + 3571 * (it + 1)),
-            )
+            # (aligned_decode_svm_ncv.py:351-360). Seeded per ITERATION
+            # (not per chunk) so results are identical across iter_batch
+            # settings and across kill-and-resume boundaries.
+            pairs = [
+                (
+                    stratified_train_subsample_masks(
+                        p[0], y_host, cfg.trial_subsample,
+                        np.random.default_rng(cfg.seed + 3571 * (it + j + 1)),
+                    ),
+                    p[1],
+                )
+                for j, p in enumerate(pairs)
+            ]
+        tr = np.concatenate([p[0] for p in pairs], axis=0)
+        te = np.concatenate([p[1] for p in pairs], axis=0)
         out = decoder(tar, cross, jnp.asarray(tr), jnp.asarray(te))
         if cfg.save_preds:
             accs_all, preds_all = np.asarray(out[0]), np.asarray(out[1])

@@ -70,13 +70,16 @@ def _resolve_n_active(evr: jax.Array, s: jax.Array, n_components, max_k: int):
     if isinstance(n_components, float):
         if 0.0 < n_components < 1.0:
             return _fraction(n_components)
-        if n_components >= 1.0 and n_components.is_integer():
+        if n_components > 1.0 and n_components.is_integer():
             # float-typed config fields deliver PCA(30)-style fixed counts
-            # as 30.0 (the aligned_decode_svm.py fixed-component pipeline)
+            # as 30.0 (the aligned_decode_svm.py fixed-component pipeline).
+            # 1.0 stays an error (sklearn rejects it too): reading it as
+            # "one component" would silently collapse the feature space
+            # when the author meant "all the variance".
             n_components = int(n_components)
         else:
             raise ValueError(
-                "float n_components must be in (0, 1) or a whole count >= 1"
+                "float n_components must be in (0, 1) or a whole count > 1"
             )
     if n_components is None:
         n = jnp.sum(s > 0).astype(jnp.int32)  # rank

@@ -133,7 +133,10 @@ def filter_hg_bin(
         coefs: IIR as a ``(b, a)`` pair of (n_bands, taps) rows or a
             stacked (n_bands, taps, 2) array ([..., 0] = a, [..., 1] = b,
             the reference layout); FIR as a single (n_bands, taps) array.
-        band_ics: carried IIR state (n_bands, C, order), or None (zeros).
+        band_ics: carried IIR state (n_bands, C, order), or None to
+            initialise from per-channel ``lfilter_zi`` steady state like
+            the reference (realtime_processing.py:120-128) — requires
+            concrete (non-traced) coefficients.
 
     Returns:
         (filtered (C, T, n_bands), new_state-or-None).
@@ -147,12 +150,11 @@ def filter_hg_bin(
         if coefs.ndim != 3:
             raise ValueError("coefs must be 2-D (FIR) or 3-D / (b, a) (IIR)")
         a, b = coefs[..., 0], coefs[..., 1]
-    b, a = jnp.asarray(b), jnp.asarray(a)
     if band_ics is None:
-        band_ics = jnp.zeros(
-            (b.shape[0], data.shape[0], b.shape[1] - 1), data.dtype
-        )
-    return iir_filter_stateful(data, b, a, band_ics)
+        band_ics = init_stream_state(
+            np.asarray(b), np.asarray(a), data.shape[0]
+        ).zi
+    return iir_filter_stateful(data, jnp.asarray(b), jnp.asarray(a), band_ics)
 
 
 def compute_bin_power(filtered: jax.Array) -> jax.Array:

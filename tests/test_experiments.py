@@ -636,3 +636,19 @@ def test_ctc_save_logits(tmp_path):
     assert lg.ndim == 3 and lg.shape[-1] == 11  # (n_test, n_win, classes)
     # log-softmax rows normalize
     np.testing.assert_allclose(np.exp(lg).sum(-1), 1.0, atol=1e-4)
+
+
+def test_trial_subsample_invariant_to_iter_batch(tmp_path):
+    """-tss masks are seeded per ITERATION, so results are identical
+    across iter_batch settings (and thus across resume boundaries)."""
+    base = dict(n_iter=2, n_folds=2, fold_batch=0, max_k=10,
+                trial_subsample=0.6, seed=5)
+    a1 = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "a.pkl"), iter_batch=1, **base),
+        verbose=False,
+    )
+    a2 = run_svm_decode(
+        SVMDecodeConfig(out=str(tmp_path / "b.pkl"), iter_batch=2, **base),
+        verbose=False,
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)

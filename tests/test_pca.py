@@ -119,3 +119,18 @@ def test_float_integer_count_n_components():
 
     with pytest.raises(ValueError, match="n_components"):
         pca_fit(X, 5.5, max_components=8)
+
+
+def test_float_n_components_one_rejected():
+    """n_components=1.0 must raise (sklearn semantics), not silently fit
+    one component."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from cross_patient_speech_decoding_tpu.ops.pca import pca_fit
+
+    X = jnp.asarray(np.random.default_rng(0).normal(size=(20, 6)),
+                    jnp.float32)
+    with pytest.raises(ValueError):
+        pca_fit(X, n_components=1.0, max_components=4)

@@ -139,11 +139,15 @@ def test_filter_hg_bin_routes_fir_and_iir():
     )
     np.testing.assert_allclose(np.asarray(z2), np.asarray(wzf), atol=1e-5)
 
-    # IIR as the reference's stacked (bands, taps, [a, b]) layout, zi=None
+    # IIR as the reference's stacked (bands, taps, [a, b]) layout, zi=None:
+    # initial state must be the per-channel lfilter_zi steady state, like
+    # the reference's IIR_filter_HG_bin (realtime_processing.py:120-128)
     stacked = np.stack([a, b], axis=-1)
     y3, z3 = filter_hg_bin(jnp.asarray(x), stacked)
-    want0, _ = iir_filter_stateful(
-        jnp.asarray(x), jnp.asarray(b), jnp.asarray(a),
-        jnp.zeros((b.shape[0], C, b.shape[1] - 1)),
+    zi_ref = np.stack(
+        [np.tile(sps.lfilter_zi(b[i], a[i]), (C, 1)) for i in range(b.shape[0])]
     )
-    np.testing.assert_allclose(np.asarray(y3), np.asarray(want0), atol=1e-5)
+    want0 = np.zeros((C, T, b.shape[0]))
+    for i in range(b.shape[0]):
+        want0[:, :, i], _ = sps.lfilter(b[i], a[i], x, zi=zi_ref[i])
+    np.testing.assert_allclose(np.asarray(y3), want0, atol=1e-5)
