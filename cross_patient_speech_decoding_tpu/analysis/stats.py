@@ -426,17 +426,34 @@ def fdr_bh(pvals, *, alpha: float = 0.05, axis: int = -1):
     return reject, out
 
 
-def cohens_d(a, b) -> float:
+def cohens_d(a, b):
     """Cohen's d effect size with the pooled (n-1)-weighted standard
     deviation — the fig_4 notebook's ``cohend`` helper (fig_4.ipynb,
-    effect-size cell)."""
+    effect-size cell).
+
+    Scalar for 1-D inputs, an array over leading axes for stacked ones.
+    Each group needs >= 2 samples (sample variance is undefined below
+    that); two constant groups yield ``inf``/``nan`` like the notebook —
+    flagged with a RuntimeWarning rather than silently.
+    """
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     n1, n2 = a.shape[-1], b.shape[-1]
+    if n1 < 2 or n2 < 2:
+        raise ValueError("cohens_d needs >= 2 samples per group")
     s1 = a.var(-1, ddof=1)
     s2 = b.var(-1, ddof=1)
     s = np.sqrt(((n1 - 1) * s1 + (n2 - 1) * s2) / (n1 + n2 - 2))
-    return (a.mean(-1) - b.mean(-1)) / s
+    if np.any(s == 0):
+        import warnings
+
+        warnings.warn(
+            "cohens_d: zero pooled variance; result is inf/nan",
+            RuntimeWarning, stacklevel=2,
+        )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = (a.mean(-1) - b.mean(-1)) / s
+    return d if d.ndim else float(d)
 
 
 def paired_permutation_test(a, b, *, n_resamples: int = 9999, seed=0,

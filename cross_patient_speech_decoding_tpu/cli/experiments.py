@@ -1622,6 +1622,13 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
             )
     if cfg.out:
         # persist the distribution for the supp_fig_20/24 latency analyses
+        # — which need per-step samples: without them the saved pkl has no
+        # 'samples_ms' and the analysis flows fail downstream
+        if "samples_ms" not in result:
+            raise ValueError(
+                "out= persists the per-step latency distribution; set "
+                "per_step_samples > 0 (>= 100 for a meaningful p99)"
+            )
         from cross_patient_speech_decoding_tpu.data.loaders import save_pkl
 
         Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)

@@ -55,8 +55,8 @@ from cross_patient_speech_decoding_tpu.data.subsample import (
     grid_subsample_sig_channels,
     pitch_subsample_channels_mm,
     pitch_subsample_sig_channels,
-    spatial_avg_data,
     spatial_avg_groups,
+    spatial_avg_matrix,
     trial_subsample_indices,
 )
 from cross_patient_speech_decoding_tpu.decoders import (
@@ -305,15 +305,15 @@ def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
     return results
 
 
-def _savg_patients(cfg: SubsampleConfig, contact_size: int):
-    """Patient arrays from a ``pt_savg_data*.pkl`` at one contact size.
+def _savg_patients(cfg: SubsampleConfig, contact_size: int, data: dict):
+    """Patient arrays from a loaded ``pt_savg_data*.pkl`` dict at one
+    contact size (the pkl is read ONCE by the sweep, not per size).
 
     The reference's spatialAvg driver reads the same nested decoding dict
     but with each X entry a dict of pre-averaged channel sets keyed
     ``cs_{n}x{n}`` (aligned_decode_spatialAvg_subsample.py:189-210).
     """
     cs_key = f"cs_{contact_size}x{contact_size}"
-    data = load_pkl(cfg.data)
     (X_t, y_t, ya_t), pre = decoding_data_from_dict(data, cfg.target_pt, -1)
     pre, _ = apply_pool_filters(
         pre, list(data[cfg.target_pt]["pre_pts"]), cfg.pool_train,
@@ -355,8 +355,9 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
     results = {}
     if cfg.data != "synthetic":
         rng = np.random.default_rng(cfg.seed)
+        data = load_pkl(cfg.data)
         for cs in cfg.contact_sizes:
-            tar, crs, dcfg = _savg_patients(cfg, int(cs))
+            tar, crs, dcfg = _savg_patients(cfg, int(cs), data)
             accs = [
                 _decode(tar, crs, dcfg, cfg, rng)
                 for _ in range(cfg.n_iter)
@@ -375,9 +376,13 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
         pts_avg = []
         for p, (cmap, sig, _) in zip((tar, *cross), geom):
             groups = spatial_avg_groups(cmap, int(cs))
-            Xa = spatial_avg_data(np.asarray(p.X), groups, channel_ids=sig)
+            # tile-average ON DEVICE: only the tiny (C, n_groups) matrix
+            # crosses the link, not the trial tensors
+            A = spatial_avg_matrix(groups, channel_ids=sig,
+                                   n_channels=p.X.shape[-1])
+            Xa = jnp.asarray(p.X) @ jnp.asarray(A)
             pts_avg.append(
-                PatientArrays(X=jnp.asarray(Xa), y=p.y, y_align=p.y_align)
+                PatientArrays(X=Xa, y=p.y, y_align=p.y_align)
             )
         accs = [
             _decode(pts_avg[0], pts_avg[1:], dcfg, cfg, rng)

@@ -88,6 +88,23 @@ def spatial_avg_data(data: np.ndarray, groups, channel_ids=None):
     return np.stack(cols, axis=-1)
 
 
+def spatial_avg_matrix(groups, channel_ids=None, n_channels: int = None):
+    """(n_channels, n_kept_groups) averaging matrix, the device-friendly
+    form of :func:`spatial_avg_data`: ``X @ A`` over the channel axis
+    equals the host tile-average, but the (tiny) matrix is built on host
+    while the trial tensor stays on device (D2H round trips through the
+    dev tunnel cost ~0.4 s + 30 MB/s; see CLAUDE.md)."""
+    ids = np.arange(n_channels) if channel_ids is None else np.asarray(
+        channel_ids
+    )
+    cols = []
+    for g in groups:
+        sel = np.isin(ids, g).astype(np.float32)
+        if sel.any():
+            cols.append(sel / sel.sum())
+    return np.stack(cols, axis=-1)
+
+
 def array_distance(locs1: np.ndarray, locs2: np.ndarray,
                    kind: str = "mean") -> float:
     """Distance between two electrode arrays' physical locations

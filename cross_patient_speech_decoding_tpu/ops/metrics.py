@@ -60,15 +60,19 @@ def cmat_acc(
 
 def cmat_acc_iter(y_true_iter, y_pred_iter, n_classes: int):
     """Confusion-matrix accuracy per (y_true, y_pred) pair — the figure
-    notebooks' ``cmat_wrap`` helper (fig_3.ipynb and 15 others)."""
+    notebooks' ``cmat_wrap`` helper (fig_3.ipynb and 15 others).
+
+    Pure numpy on purpose: inputs are host arrays from saved result
+    files, and each device dispatch would pay the dev tunnel's ~0.4 s
+    D2H sync for a trivial reduction (CLAUDE.md)."""
     import numpy as np
 
-    return np.array(
-        [
-            float(cmat_acc(jnp.asarray(t), jnp.asarray(p), n_classes))
-            for t, p in zip(y_true_iter, y_pred_iter)
-        ]
-    )
+    out = []
+    for t, p in zip(y_true_iter, y_pred_iter):
+        t = np.asarray(t).ravel()
+        p = np.asarray(p).ravel()
+        out.append(float(np.mean(t == p)) if t.size else 0.0)
+    return np.array(out)
 
 
 def pearson_r(x: jax.Array, y: jax.Array, axis: int = -1) -> jax.Array:

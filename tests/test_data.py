@@ -315,3 +315,25 @@ def test_synthetic_device_generator_structure():
     # correlation between vectorized signals should be near 1
     r = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert r > 0.95
+
+
+def test_spatial_avg_matrix_matches_host_average():
+    """X @ spatial_avg_matrix == spatial_avg_data (device-friendly form)."""
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.data.subsample import (
+        spatial_avg_data,
+        spatial_avg_groups,
+        spatial_avg_matrix,
+    )
+
+    rng = np.random.default_rng(0)
+    cmap = np.arange(1.0, 25.0).reshape(4, 6)
+    cmap[0, 0] = np.nan
+    ids = np.arange(1, 25)[: 20]  # data carries the first 20 channel ids
+    X = rng.normal(size=(7, 11, 20)).astype(np.float32)
+    groups = spatial_avg_groups(cmap, 2)
+    want = spatial_avg_data(X, groups, channel_ids=ids)
+    A = spatial_avg_matrix(groups, channel_ids=ids, n_channels=20)
+    got = X @ A
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -652,3 +652,17 @@ def test_trial_subsample_invariant_to_iter_batch(tmp_path):
         verbose=False,
     )
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+def test_realtime_out_requires_samples(tmp_path):
+    """out= without per_step_samples>0 raises instead of writing a pkl
+    the latency analyses cannot consume."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_realtime_sim(
+            RealtimeSimConfig(n_channels=8, n_bins=20, hidden=16,
+                              n_layers=1, per_step_samples=0,
+                              out=str(tmp_path / "lat.pkl")),
+            verbose=False,
+        )
