@@ -1233,6 +1233,23 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     )
 
     cfg = _apply_tuned_hparams(cfg)
+    init_vars = None
+    if cfg.init_ckpt:
+        # fine-tune a reference-trained model: architecture from the
+        # checkpoint, params re-loaded as the warm start every iteration
+        from cross_patient_speech_decoding_tpu.models.torch_import import (
+            realtime_rnn_from_ckpt,
+        )
+
+        ck_model, init_vars = realtime_rnn_from_ckpt(cfg.init_ckpt)
+        if ck_model.n_classes != 11:
+            raise ValueError(
+                f"checkpoint has {ck_model.n_classes} classes; the CTC "
+                "phoneme task uses 11 (blank + 9 phonemes + sil)"
+            )
+        cfg.hidden, cfg.n_layers = ck_model.hidden, ck_model.n_layers
+        cfg.win_size, cfg.stride = ck_model.win_size, ck_model.stride
+        init_vars = jax.tree.map(jnp.asarray, init_vars)
     done = _completed_results(cfg.out, vars(cfg)) if cfg.out else []
     pers = list(done[: cfg.n_iter])
     if pers and verbose:
@@ -1310,7 +1327,21 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         )
         tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_steps,
                             clip=cfg.clip)
-        variables = model.init(jax.random.key(cfg.seed + it), train_batch[0][:1])
+        if init_vars is not None:
+            want = init_vars["params"]["rnn"]["fwd0"]["wi"].shape[0]
+            have = train_batch[0].shape[-1] * cfg.win_size
+            if want != have:
+                raise ValueError(
+                    f"checkpoint input width {want} != data width {have} "
+                    f"({train_batch[0].shape[-1]} channels x win "
+                    f"{cfg.win_size}); match n_components / channel "
+                    "selection to the checkpoint's training setup"
+                )
+            variables = init_vars
+        else:
+            variables = model.init(
+                jax.random.key(cfg.seed + it), train_batch[0][:1]
+            )
         state = create_train_state(model, variables, tx)
         with _maybe_trace(cfg.trace and it == start_it, cfg.out, run_name):
             res = fit_loop(
@@ -1527,8 +1558,26 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
     )
 
     rng = np.random.default_rng(cfg.seed)
-    model = RealtimeRNN(hidden=cfg.hidden, n_layers=cfg.n_layers,
-                        n_classes=cfg.n_classes)
+    if cfg.ckpt:
+        # stream a trained reference model (Lightning .ckpt import); the
+        # architecture and channel count come from the checkpoint
+        from cross_patient_speech_decoding_tpu.models.torch_import import (
+            realtime_rnn_from_ckpt,
+        )
+
+        model, params = realtime_rnn_from_ckpt(cfg.ckpt)
+        if model.bidirectional:
+            raise ValueError(
+                "streaming needs a unidirectional model (a bidirectional "
+                "GRU cannot run causally)"
+            )
+        in_size = params["params"]["rnn"]["fwd0"]["wi"].shape[0]
+        cfg.n_channels = in_size // model.win_size
+        cfg.hidden, cfg.n_layers = model.hidden, model.n_layers
+        cfg.n_classes = model.n_classes
+    else:
+        model = RealtimeRNN(hidden=cfg.hidden, n_layers=cfg.n_layers,
+                            n_classes=cfg.n_classes)
     bs, as_ = [], []
     for lo, hi in ((0.35, 0.5), (0.5, 0.65), (0.65, 0.8)):
         b, a = sps.butter(2, [lo, hi], btype="band")
@@ -1536,8 +1585,9 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
         as_.append(a)
     b, a = np.stack(bs), np.stack(as_)
 
-    params = model.init(jax.random.key(cfg.seed),
-                        jnp.zeros((1, 60, cfg.n_channels)))
+    if not cfg.ckpt:
+        params = model.init(jax.random.key(cfg.seed),
+                            jnp.zeros((1, 60, cfg.n_channels)))
     state = init_realtime_state(model, params, b, a, cfg.n_channels)
     chunks = jnp.asarray(
         rng.normal(size=(cfg.n_bins, cfg.n_channels, cfg.bin_len)), jnp.float32

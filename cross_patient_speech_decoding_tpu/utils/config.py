@@ -271,6 +271,12 @@ class TrainCTCConfig:
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
     trace: bool = False  # device profile of the first iteration
     seed: int = 0
+    # warm-start every iteration from a reference Lightning checkpoint
+    # (models.torch_import) instead of random init — fine-tune a
+    # reference-trained RealtimeRNNModel on TPU; hidden/n_layers/win/stride
+    # then come from the checkpoint and the data's channel count must
+    # match the checkpoint's input width
+    init_ckpt: str = ""
     out: str = "results/ctc.pkl"  # incremental per-iteration results (resume)
 
 
@@ -323,6 +329,11 @@ class RealtimeSimConfig:
     n_layers: int = 2
     n_classes: int = 11
     seed: int = 0
+    # stream a trained model instead of a random-init one: path to a
+    # reference Lightning checkpoint (models.torch_import) — architecture
+    # and channel count then come from the checkpoint, overriding the
+    # hidden/n_layers/n_classes/n_channels fields above
+    ckpt: str = ""
     # per-step latency distribution: number of timed samples (0 = skip,
     # report only the scan-amortized figure); each sample queues
     # ``per_step_chain`` python-dispatched single steps before one sync
