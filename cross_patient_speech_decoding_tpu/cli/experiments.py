@@ -1626,7 +1626,9 @@ def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):
         )
 
         step = jax.jit(
-            make_realtime_step(model, RealtimeConfig()), donate_argnums=1
+            # cfg defaults from the model so imported checkpoints with
+            # non-default win/stride/blank time the program they deploy
+            make_realtime_step(model), donate_argnums=1
         )
         st = init_realtime_state(model, params, b, a, cfg.n_channels)
         R = cfg.per_step_chain

@@ -117,19 +117,22 @@ def aligned_folds(
     rng = np.random.default_rng(seed)
     y_host = np.asarray(tar.y)
     tr_m, te_m = stratified_kfold_masks(y_host, n_folds, rng)
-    T = tar.X.shape[1]
     folds = []
-    for k in range(n_folds):
-        fit_mask = (
-            None if align_before_split else jnp.asarray(tr_m[k], jnp.float32)
-        )
+
+    # fold-invariant work hoisted out of the fold loop: source PCA latents
+    # never depend on the target's fold split (every cross row is training
+    # data), and with align_before_split the target PCA + CCA fits are
+    # fold-invariant too — refitting them n_folds x was pure waste
+    src_lats = []
+    for src in cross:
+        src_pca = _fit_pca_latents(src.X, n_comp, max_k)
+        src_lats.append(_transform_latents(src_pca, src.X, max_k))
+
+    def _align(fit_mask):
         tar_pca = _fit_pca_latents(tar.X, n_comp, max_k, fit_mask)
         tar_lat = _transform_latents(tar_pca, tar.X, max_k)
-
         pooled_X, pooled_y = [], []
-        for src in cross:
-            src_pca = _fit_pca_latents(src.X, n_comp, max_k)
-            src_lat = _transform_latents(src_pca, src.X, max_k)
+        for src, src_lat in zip(cross, src_lats):
             al = fit_cca_aligner(
                 tar_lat, src_lat, tar.y_align, src.y_align,
                 n_align_classes, mask_a=fit_mask,
@@ -137,8 +140,16 @@ def aligned_folds(
             aligned = transform_b_to_a(al, src_lat)
             pooled_X.append(np.asarray(aligned).reshape(len(src.y), -1))
             pooled_y.append(np.asarray(src.y))
+        return (
+            np.asarray(tar_lat).reshape(len(y_host), -1), pooled_X, pooled_y
+        )
 
-        tar_flat = np.asarray(tar_lat).reshape(len(y_host), -1)
+    shared = _align(None) if align_before_split else None
+    for k in range(n_folds):
+        tar_flat, pooled_X, pooled_y = (
+            shared if shared is not None
+            else _align(jnp.asarray(tr_m[k], jnp.float32))
+        )
         tr_idx = np.where(tr_m[k] > 0)[0]
         te_idx = np.where(te_m[k] > 0)[0]
         tr_idx, va_idx = _split_val(tr_idx, val_frac, rng)

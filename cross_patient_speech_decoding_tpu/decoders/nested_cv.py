@@ -53,14 +53,21 @@ def sample_candidates(n: int, seed: int = 0, n_comp_range=(0.5, 0.99),
 def inner_cv_masks(train_mask: np.ndarray, y: np.ndarray, n_inner: int,
                    rng: np.random.Generator):
     """Split ONE outer-fold train set into inner folds (masks over the full
-    trial axis; rows outside the outer-train set are excluded everywhere)."""
+    trial axis; rows outside the outer-train set are excluded everywhere).
+
+    Stratified on ``y`` like the reference's inner CV
+    (``BayesSearchCV(cv=StratifiedKFold(shuffle=True))``,
+    `aligned_decode_svm_ncv.py:337,398`), with the same plain-KFold
+    fallback when a class has fewer members than ``n_inner``."""
+    from cross_patient_speech_decoding_tpu.data.splits import (
+        stratified_kfold_masks,
+    )
+
     idx = np.where(train_mask > 0)[0]
-    perm = rng.permutation(idx)
-    inner_tr = np.zeros((n_inner, len(train_mask)))
+    _, sub_te = stratified_kfold_masks(np.asarray(y)[idx], n_inner, rng)
     inner_te = np.zeros((n_inner, len(train_mask)))
-    for f, chunk in enumerate(np.array_split(perm, n_inner)):
-        inner_te[f, chunk] = 1.0
-        inner_tr[f] = train_mask - inner_te[f]
+    inner_te[:, idx] = sub_te
+    inner_tr = train_mask[None, :] - inner_te
     return inner_tr, inner_te
 
 

@@ -29,6 +29,7 @@ def ctc_loss_mean(
     labels: jax.Array,
     label_lengths: jax.Array,
     blank_id: int = 0,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """CTC loss with torch's default 'mean' reduction semantics.
 
@@ -37,6 +38,11 @@ def ctc_loss_mean(
         input_lengths: (B,) valid logit frames.
         labels: (B, L) padded target sequences.
         label_lengths: (B,) valid target lengths.
+        weights: optional (B,) sample weights (fold masks): the reduction
+            becomes a weighted mean over rows with w>0. ``None`` is the
+            plain batch mean. Keeping the weighted variant HERE (not
+            reimplemented by callers) pins the zero_infinity clamp and
+            label-length normalization to one definition.
 
     torch ``CTCLoss(reduction='mean')`` divides each sequence's loss by its
     target length then averages over the batch; ``zero_infinity=True`` zeroes
@@ -51,7 +57,10 @@ def ctc_loss_mean(
 
     per_seq = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=blank_id)
     per_seq = jnp.where(per_seq > 1e4, 0.0, per_seq)  # zero_infinity analog
-    return jnp.mean(per_seq / jnp.maximum(label_lengths, 1))
+    per_seq = per_seq / jnp.maximum(label_lengths, 1)
+    if weights is None:
+        return jnp.mean(per_seq)
+    return jnp.sum(per_seq * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
 def greedy_decode(

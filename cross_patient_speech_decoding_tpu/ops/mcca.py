@@ -79,7 +79,10 @@ def _inv_sqrt_psd(A: jax.Array, rank_mask: jax.Array | None, reg_floor: float):
         k_idx = jnp.arange(A.shape[0])[::-1]  # rank position of each col
         keep = keep & (k_idx < rank_mask)
     w_is = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
-    return (v * w_is[None, :]) @ v.T
+    # hdot, not '@': the whitener feeds every Gram block of the GEVP and
+    # the loadings; the default bf16-class matmul would cost ~3 digits on
+    # ill-conditioned views (ops/precision.py policy)
+    return hdot(v * w_is[None, :], v.T)
 
 
 def mcca_fit(

@@ -69,14 +69,22 @@ def init_realtime_state(
     )
 
 
-def make_realtime_step(model: RealtimeRNN, cfg: RealtimeConfig):
+def make_realtime_step(model: RealtimeRNN,
+                       cfg: RealtimeConfig | None = None):
     """Build the pure streaming step (jit it once, call per bin).
 
     step(params, state, chunk (C, T_bin), b, a) ->
         (state, (emitted_symbol, logits, did_run))
     ``emitted_symbol`` is -1 when no new symbol (blank/repeat collapse or no
     GRU step this bin), else the decoded class id — greedy CTC, online.
+
+    ``cfg`` defaults to the MODEL's geometry (win_size/stride/blank); pass
+    an explicit cfg only to deliberately run off-geometry. A mismatched
+    cfg would clock the GRU at the wrong cadence against the model's ring
+    size and collapse with the wrong blank id.
     """
+    if cfg is None:
+        cfg = RealtimeConfig(model.win_size, model.stride, model.blank)
 
     def step(params, state: RealtimeState, chunk, b, a):
         power, dsp = process_hg_chunk(chunk, b, a, state.dsp)

@@ -269,6 +269,14 @@ def run_bohb(
             else:
                 keep = max(1, len(scored) // eta)
                 live = [c for c, _ in scored[:keep]]
+                # rung dropouts persist too: their cheap-rung evaluations
+                # must survive a restart (they re-enter ``obs`` at their
+                # own budget) and must not retrain if TPE re-proposes them
+                for c, m in scored[keep:]:
+                    manifest.record(
+                        c, float(m),
+                        {"epochs": int(epochs), "eliminated_at_rung": i},
+                    )
 
     results = []
     for epochs in sorted(obs, reverse=True):

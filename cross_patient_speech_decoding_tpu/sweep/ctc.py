@@ -33,19 +33,11 @@ from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
 
 
 def _weighted_ctc_loss(model, params, x, y, in_adj, ll, w, blank, key):
-    """Per-sample CTC losses reduced with sample weights (fold masks)."""
-    import optax as _optax
-
+    """Fold-masked CTC loss — the same ``ctc_loss_mean`` as the production
+    train steps (one definition of the zero_infinity clamp and
+    normalization), reduced with sample weights."""
     logits = model.apply({"params": params}, x, False, rngs={"dropout": key})
-    T = logits.shape[1]
-    t_idx = jnp.arange(T)[None, :]
-    logit_pad = (t_idx >= in_adj[:, None]).astype(logits.dtype)
-    l_idx = jnp.arange(y.shape[1])[None, :]
-    label_pad = (l_idx >= ll[:, None]).astype(logits.dtype)
-    per_seq = _optax.ctc_loss(logits, logit_pad, y, label_pad, blank_id=blank)
-    per_seq = jnp.where(per_seq > 1e4, 0.0, per_seq)
-    per_seq = per_seq / jnp.maximum(ll, 1)
-    return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return ctc_loss_mean(logits, in_adj, y, ll, blank_id=blank, weights=w)
 
 
 def make_ctc_cv_bucket_trainer(

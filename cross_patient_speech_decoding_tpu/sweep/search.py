@@ -152,7 +152,15 @@ def run_sweep(
         eta: keep top 1/eta fraction between rungs.
 
     Returns:
-        list of {"config", "metric"} sorted best-first.
+        one {"config", "metric", "epochs"} record per trial — trials
+        eliminated at an intermediate rung are included with the metric
+        and budget they were last evaluated at. Full-budget results sort
+        first (by metric), then eliminated trials by descending budget,
+        so ``results[0]`` is always the sweep winner and no trial is
+        silently dropped. Eliminated trials are recorded in the manifest
+        too (with ``eliminated_at_rung``), so a resumed sweep neither
+        re-trains them through rungs they already lost nor loses their
+        evaluations.
     """
     manifest = manifest or Manifest(None)
     live = []
@@ -160,9 +168,17 @@ def run_sweep(
     for t in trials:
         rec = manifest.completed(t)
         if rec is not None:
-            results.append({"config": t, "metric": rec["metric"]})
+            results.append({
+                "config": t,
+                "metric": rec["metric"],
+                "epochs": int(rec.get("epochs", rungs[-1])),
+            })
         else:
             live.append(t)
+    # fixed SHA cohort schedule from the FULL trial count: a resumed run
+    # whose cheap-rung eliminations are already in the manifest must not
+    # shrink the keep count for the surviving cohort
+    n0 = len(trials)
 
     for i, epochs in enumerate(rungs):
         if not live:
@@ -175,13 +191,21 @@ def run_sweep(
         if i == len(rungs) - 1:
             for cfg, m in scores:
                 results.append(
-                    {"config": cfg, "metric": float(m)}
+                    {"config": cfg, "metric": float(m), "epochs": int(epochs)}
                 )
                 manifest.record(cfg, float(m), {"epochs": int(epochs)})
             live = []
         else:
-            keep = max(1, len(scores) // eta)
+            keep = max(1, n0 // (eta ** (i + 1)))
             live = [cfg for cfg, _ in scores[:keep]]
+            for cfg, m in scores[keep:]:
+                results.append(
+                    {"config": cfg, "metric": float(m), "epochs": int(epochs)}
+                )
+                manifest.record(
+                    cfg, float(m),
+                    {"epochs": int(epochs), "eliminated_at_rung": i},
+                )
 
-    results.sort(key=lambda r: r["metric"])
+    results.sort(key=lambda r: (-r["epochs"], r["metric"]))
     return results

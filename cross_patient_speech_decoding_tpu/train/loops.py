@@ -48,7 +48,15 @@ def _batches(n: int, batch_size: int | None, rng: np.random.Generator):
         return
     perm = rng.permutation(n)
     for i in range(0, n, batch_size):
-        yield perm[i : i + batch_size]
+        chunk = perm[i : i + batch_size]
+        if len(chunk) < batch_size:
+            # keep ONE compiled train-step shape: a ragged final batch
+            # would trigger a second full XLA compile (minutes cold on
+            # the tunneled TPU, doubling the cache footprint). Pad by
+            # wrapping the same epoch's permutation — every sample still
+            # trains each epoch; the first few train twice that epoch.
+            chunk = np.concatenate([chunk, perm[: batch_size - len(chunk)]])
+        yield chunk
 
 
 def fit(

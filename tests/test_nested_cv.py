@@ -94,3 +94,19 @@ def test_nested_cv_bayes_decodes_above_chance():
     assert np.all(np.asarray(hp_best["n_comp"]) >= 0.5)
     assert np.all(np.asarray(hp_best["n_comp"]) <= 0.99)
     assert accs.mean() > 1.0 / cfg.n_classes + 0.1, accs
+
+
+def test_inner_masks_are_stratified():
+    """Inner CV mirrors the reference's StratifiedKFold: every inner test
+    fold carries every class when counts allow (the old permutation split
+    concentrated classes into single chunks)."""
+    rng = np.random.default_rng(3)
+    y = np.repeat(np.arange(4), 12)
+    tr, _ = stratified_kfold_masks(y, 4, rng)
+    itr, ite = inner_cv_masks(tr[0], y, 3, rng)
+    np.testing.assert_array_equal(ite.sum(axis=0), tr[0])
+    for f in range(3):
+        test_classes = np.unique(y[ite[f] > 0])
+        np.testing.assert_array_equal(test_classes, np.arange(4))
+        train_classes = np.unique(y[itr[f] > 0])
+        np.testing.assert_array_equal(train_classes, np.arange(4))

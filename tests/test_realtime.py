@@ -79,3 +79,28 @@ def test_streaming_window_cadence():
     )
     want = [(n >= 6) and ((n - 6) % 2 == 0) for n in range(1, 13)]
     np.testing.assert_array_equal(np.asarray(did_run), want)
+
+
+def test_make_realtime_step_defaults_to_model_geometry():
+    """make_realtime_step with no cfg clocks the GRU at the MODEL's
+    win/stride (an imported checkpoint's geometry), not the defaults."""
+    from cross_patient_speech_decoding_tpu.realtime.simulator import (
+        make_realtime_step,
+    )
+
+    C, bin_len = 4, 5
+    model = RealtimeRNN(hidden=8, n_layers=1, n_classes=4, win_size=6,
+                        stride=2)
+    b, a = _bands()
+    bj, aj = jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 24, C)))
+    state = init_realtime_state(model, params, b, a, C)
+    step = jax.jit(make_realtime_step(model))
+    chunks = np.random.default_rng(4).normal(
+        size=(12, C, bin_len)).astype(np.float32)
+    ran = []
+    for ch in chunks:
+        state, (_, _, did) = step(params, state, jnp.asarray(ch), bj, aj)
+        ran.append(bool(did))
+    want = [(n >= 6) and ((n - 6) % 2 == 0) for n in range(1, 13)]
+    assert ran == want

@@ -89,7 +89,57 @@ def test_successive_halving_prunes():
     # rung 1: 9 trials at 1 epoch; rung 2: 3 survivors at 3 epochs
     assert calls[0] == (9, 1)
     assert calls[1] == (3, 3)
-    assert len(res) == 3
+    # ALL trials come back: full-budget survivors first (best-first), then
+    # rung-1 eliminations with the budget they were last evaluated at
+    assert len(res) == 9
+    assert [r["epochs"] for r in res] == [3] * 3 + [1] * 6
+    lrs = sorted(t["lr"] for t in trials)
+    assert res[0]["metric"] == lrs[0]  # winner is still results[0]
+    assert {r["metric"] for r in res[3:]} == set(lrs[3:])
+
+
+def test_successive_halving_resume_keeps_schedule(tmp_path):
+    """A sweep killed after recording cheap-rung eliminations must, on
+    resume, advance the SAME survivors to the final rung (fixed SHA
+    schedule), not re-eliminate within the shrunken cohort — and must not
+    retrain eliminated trials."""
+    trials = sample_trials(
+        SweepSpace(hidden=(16,), n_layers=(1,), dropout=(0.0,)), 9, seed=4
+    )
+    mpath = tmp_path / "m.jsonl"
+
+    class Rung2Crash(Exception):
+        pass
+
+    def crashing_trainer(cfgs, epochs):
+        if epochs == 3:
+            raise Rung2Crash()
+        return [c["lr"] for c in cfgs]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Rung2Crash):
+        run_sweep(trials, crashing_trainer,
+                  manifest=Manifest(mpath), rungs=(1, 3), eta=3)
+
+    calls = []
+
+    def trainer(cfgs, epochs):
+        calls.append((len(cfgs), epochs))
+        return [c["lr"] for c in cfgs]
+
+    res = run_sweep(trials, trainer, manifest=Manifest(mpath),
+                    rungs=(1, 3), eta=3)
+    # resumed run re-evaluates only the 3 recorded survivors at rung 1
+    # (their rung-1 scores were not persisted), keeps ALL of them per the
+    # n0=9 schedule, and finishes the final rung
+    assert (3, 3) in calls
+    assert all(n == 3 for n, _ in calls)
+    full = [r for r in res if r["epochs"] == 3]
+    assert len(full) == 3
+    lrs = sorted(t["lr"] for t in trials)
+    assert sorted(r["metric"] for r in full) == lrs[:3]
+    assert len(res) == 9
 
 
 def test_cv_bucket_trainer_averages_folds():
@@ -117,3 +167,32 @@ def test_cv_bucket_trainer_averages_folds():
     assert len(pers) == 2
     assert pers[0] < 95, pers  # learning trial improves fold-mean PER
     assert pers[1] > 99, pers  # frozen trial stays blank-collapsed
+
+
+def test_ctc_loss_mean_weighted_reduction():
+    """weights= is the single weighted variant used by the CV sweep: ones
+    == plain mean; a fold mask == the mean over masked rows."""
+    from cross_patient_speech_decoding_tpu.ops.ctc import ctc_loss_mean
+
+    x, y, il, ll = _ctc_data(5, n=8)
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.normal(size=(8, 40, 6)).astype(np.float32))
+    full = float(ctc_loss_mean(logits, il, y, ll))
+    ones = float(ctc_loss_mean(logits, il, y, ll, weights=jnp.ones(8)))
+    np.testing.assert_allclose(full, ones, rtol=1e-6)
+    w = jnp.asarray([1, 1, 1, 0, 0, 0, 0, 0], jnp.float32)
+    sub = float(ctc_loss_mean(logits[:3], il[:3], y[:3], ll[:3]))
+    masked = float(ctc_loss_mean(logits, il, y, ll, weights=w))
+    np.testing.assert_allclose(masked, sub, rtol=1e-6)
+
+
+def test_fit_minibatches_share_one_shape():
+    """Ragged final batches would recompile the train step (minutes cold on
+    the TPU); the last chunk wraps the epoch permutation instead."""
+    from cross_patient_speech_decoding_tpu.train.loops import _batches
+
+    rng = np.random.default_rng(7)
+    chunks = list(_batches(23, 5, rng))
+    assert [len(c) for c in chunks] == [5] * 5
+    seen = np.unique(np.concatenate(chunks))
+    np.testing.assert_array_equal(seen, np.arange(23))  # full epoch coverage
