@@ -28,14 +28,13 @@ from ..ops.precision import HIGHEST, hdot
 def pairwise_sq_dists(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
     """Squared euclidean distance matrix via one MXU matmul.
 
-    Full-precision accumulate: the |x|^2 + |y|^2 - 2xy expansion is
-    catastrophically cancellative at bf16-class default precision.
+    One shared implementation with the classifier kernels: the
+    |x|^2 + |y|^2 - 2xy expansion is catastrophically cancellative at
+    bf16-class default precision, and that caveat must live in ONE place.
     """
-    y = x if y is None else y
-    xx = jnp.sum(x * x, -1)
-    yy = jnp.sum(y * y, -1)
-    d2 = xx[:, None] + yy[None, :] - 2.0 * hdot(x, y.T)
-    return jnp.maximum(d2, 0.0)
+    from ..ops.classifiers import _sq_dists
+
+    return _sq_dists(x, x if y is None else y)
 
 
 @partial(jax.jit, static_argnames=("n_clusters",))

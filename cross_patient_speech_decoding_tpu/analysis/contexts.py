@@ -140,10 +140,10 @@ def prediction_records_from_results(path):
     )
 
 
-def cmat_accuracy_from_results(path, n_classes: int):
+def cmat_accuracy_from_results(path):
     """Per-iteration confusion-matrix accuracy over the saved pooled-fold
     predictions — ``cmat_wrap`` applied to a results pickle."""
     from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc_iter
 
     y_true, y_pred, _ = prediction_records_from_results(path)
-    return cmat_acc_iter(y_true, y_pred, n_classes)
+    return cmat_acc_iter(y_true, y_pred)

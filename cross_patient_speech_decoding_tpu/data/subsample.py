@@ -184,12 +184,26 @@ def poisson_disk_sample(positions: np.ndarray, radius: float,
 
 def pitch_subsample_sig_channels(positions: np.ndarray, sig_channels,
                                  pitch: float, rng: np.random.Generator,
-                                 max_retries: int = 10):
+                                 max_retries: int = 10,
+                                 channel_ids: np.ndarray | None = None):
     """Poisson-disk subsample; retry until >=1 significant channel is drawn
-    (reference poisson_disk_sampling.py:79-80 recursion)."""
+    (reference poisson_disk_sampling.py:79-80 recursion).
+
+    ``channel_ids`` maps each ``positions`` row to its channel id so that
+    drawn darts compare against ``sig_channels`` in the SAME id space as
+    the rest of this module (1-based ``load_sig_channels`` ids). When
+    ``None``, position indices themselves are taken as the channel ids
+    (a channel-ordered synthetic grid). Returns (selected channel ids,
+    indices into ``sig_channels``)."""
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1")
     sig = np.asarray(sig_channels)
+    ids = (
+        np.arange(len(positions)) if channel_ids is None
+        else np.asarray(channel_ids)
+    )
     for _ in range(max_retries):
-        sel = poisson_disk_sample(positions, pitch, rng)
+        sel = ids[poisson_disk_sample(positions, pitch, rng)]
         idx = np.where(np.isin(sig, sel))[0]
         if idx.size:
             return sel, idx
@@ -274,18 +288,30 @@ def pitch_subsample_channels_mm(chan_map: np.ndarray, sig_channels,
 
 def trial_subsample_indices(y: np.ndarray, n_trials: int,
                             rng: np.random.Generator):
-    """Class-balanced random subset of n_trials indices (data-quantity
-    sweeps, aligned_decode_cross_patient_subsample.py:290-292)."""
+    """Class-balanced random subset of EXACTLY min(n_trials, len(y))
+    indices (data-quantity sweeps,
+    aligned_decode_cross_patient_subsample.py:290-292).
+
+    Per-class quotas are floor(n/k) with the remainder spread one extra
+    trial over randomly-chosen classes, so the sweep's x-axis (trial
+    count) is honored even when ``n_trials`` is not a multiple of the
+    class count — a silent shortfall would mislabel every sweep point."""
     y = np.asarray(y)
     classes = np.unique(y)
-    per = max(1, n_trials // len(classes))
-    picks = []
-    for c in classes:
-        idx = np.where(y == c)[0]
-        picks.append(rng.permutation(idx)[:per])
+    n_trials = min(n_trials, len(y))
+    per = np.full(len(classes), n_trials // len(classes), np.int64)
+    per[rng.permutation(len(classes))[: n_trials % len(classes)]] += 1
+    picks, short = [], 0
+    for c, p in zip(classes, per):
+        idx = rng.permutation(np.where(y == c)[0])
+        picks.append(idx[:p])
+        short += max(0, p - len(idx))
     out = np.concatenate(picks)
+    if short:  # thin classes: top up from the unpicked remainder
+        rest = np.setdiff1d(np.arange(len(y)), out)
+        out = np.concatenate([out, rng.permutation(rest)[:short]])
     rng.shuffle(out)
-    return out[:n_trials]
+    return out
 
 
 def knn_indices(positions: np.ndarray, query: np.ndarray, k: int):

@@ -125,10 +125,20 @@ def sample_tme(fit: dict, n_samples: int | None = None, seed: int = 0):
 
     key = jax.random.key(seed)
     eps = jax.random.normal(key, (N, T, C)) * std
-    # rotate out of the eigenbases: X = eps x1 Q1 x2 Q2 x3 Q3
-    out = jnp.einsum("ntc,in->itc", eps, jnp.asarray(Q1, jnp.float32))
-    out = jnp.einsum("itc,jt->ijc", out, jnp.asarray(Q2, jnp.float32))
-    out = jnp.einsum("ijc,kc->ijk", out, jnp.asarray(Q3, jnp.float32))
+    # rotate out of the eigenbases: X = eps x1 Q1 x2 Q2 x3 Q3. HIGHEST
+    # precision: the whole point of TME is surrogate marginal covariances
+    # matching the fitted eigenvalues; bf16-class default passes would
+    # blur exactly that property (ops/precision.py policy)
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum(
+        "ntc,in->itc", eps, jnp.asarray(Q1, jnp.float32), precision=hp
+    )
+    out = jnp.einsum(
+        "itc,jt->ijc", out, jnp.asarray(Q2, jnp.float32), precision=hp
+    )
+    out = jnp.einsum(
+        "ijc,kc->ijk", out, jnp.asarray(Q3, jnp.float32), precision=hp
+    )
     return np.asarray(out) + fit["mean"]
 
 

@@ -503,8 +503,16 @@ def shared_trial_subselect_indices(
     """
     ids_a = np.asarray(ids_a)
     ids_b = np.asarray(ids_b)
+    shared = np.intersect1d(ids_a, ids_b)
+    if shared.size == 0:
+        raise ValueError(
+            "no shared classes between the two datasets — trial-matched "
+            "CCA needs at least one label present on both sides (check "
+            "that both use the same label vocabulary, e.g. phoneme vs "
+            "articulator ids)"
+        )
     sel_a, sel_b = [], []
-    for c in np.intersect1d(ids_a, ids_b):
+    for c in shared:
         cur_a = rng.permutation(np.where(ids_a == c)[0])
         cur_b = rng.permutation(np.where(ids_b == c)[0])
         m = min(len(cur_a), len(cur_b))

@@ -36,11 +36,16 @@ from cross_patient_speech_decoding_tpu.ops.precision import hdot
 class KernelClassifier(NamedTuple):
     """Fitted kernel ridge one-vs-rest classifier.
 
+    The kernel NAME is deliberately not stored: a static string leaf would
+    break the pytree under vmap/jit (bagging vmaps whole fitted
+    classifiers). Callers pass ``kernel=`` to decision/predict explicitly
+    — it is a required argument so a linear fit can never silently be
+    evaluated through an RBF kernel.
+
     Attributes:
         X_train: (N, F) training features (kept for kernel evaluation).
         dual_coef: (N, C) dual coefficients (zero rows for masked samples).
         gamma: scalar RBF bandwidth (0.0 for linear kernel).
-        kernel: static string 'rbf' or 'linear' (not traced).
     """
 
     X_train: jax.Array
@@ -161,7 +166,7 @@ def kernel_classifier_fit(
 
 
 def kernel_classifier_decision(
-    clf: KernelClassifier, X: jax.Array, kernel: str = "rbf"
+    clf: KernelClassifier, X: jax.Array, kernel: str
 ) -> jax.Array:
     k = (
         hdot(X, clf.X_train.T)
@@ -172,7 +177,7 @@ def kernel_classifier_decision(
 
 
 def kernel_classifier_predict(
-    clf: KernelClassifier, X: jax.Array, kernel: str = "rbf"
+    clf: KernelClassifier, X: jax.Array, kernel: str
 ) -> jax.Array:
     return jnp.argmax(kernel_classifier_decision(clf, X, kernel), axis=1).astype(
         jnp.int32
@@ -191,11 +196,16 @@ def bagged_classifier_fit(
     gamma=None,
     sample_mask: jax.Array | None = None,
     feature_mask: jax.Array | None = None,
-    balanced: bool = True,
+    balanced: bool = False,
 ) -> KernelClassifier:
     """Bootstrap-aggregated classifier — the reference's
     ``BaggingClassifier(SVC(kernel='linear'), n_estimators=10)``
     (`scripts/aligned_decode_svm.py:262-263`).
+
+    ``balanced`` defaults to False: the reference's bagged SVC carries no
+    ``class_weight`` (unlike the nested-CV pipeline's
+    ``SVC(class_weight='balanced')``), so class-balancing every ensemble
+    member would systematically shift its decision boundaries.
 
     TPU-native: each bootstrap resample is a *multiplicity weight vector*
     (counts of each sample in the draw), so all ``n_estimators`` ensemble
@@ -225,7 +235,7 @@ def bagged_classifier_fit(
 
 
 def bagged_classifier_predict(
-    clf: KernelClassifier, X: jax.Array, kernel: str = "linear"
+    clf: KernelClassifier, X: jax.Array, kernel: str
 ) -> jax.Array:
     """Majority vote over the ensemble (argmax of summed decision scores)."""
     scores = jax.vmap(

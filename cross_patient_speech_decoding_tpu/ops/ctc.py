@@ -78,10 +78,24 @@ def greedy_decode(
     """
     B, T, _ = log_probs.shape
     best = jnp.argmax(log_probs, axis=2)  # (B, T)
-    prev = jnp.concatenate([jnp.full((B, 1), -1), best[:, :-1]], axis=1)
-    keep = (best != blank_id) & (best != prev)
-    if frame_mask is not None:
-        keep = keep & (frame_mask > 0)
+    if frame_mask is None:
+        prev = jnp.concatenate([jnp.full((B, 1), -1), best[:, :-1]], axis=1)
+        keep = (best != blank_id) & (best != prev)
+    else:
+        # repeat collapse must compare against the last VALID frame, not
+        # the immediately preceding (possibly masked) one: with an
+        # interleaved mask, [a, b(masked), a] is ONE 'a', and
+        # [a, a(masked), a] is also one — decoding the valid subsequence
+        valid = frame_mask > 0
+        vpos = jnp.where(valid, jnp.arange(T)[None, :], -1)
+        lb = jax.lax.cummax(vpos, axis=1)  # last valid index <= t
+        lb = jnp.concatenate([jnp.full((B, 1), -1), lb[:, :-1]], axis=1)
+        prev = jnp.where(
+            lb >= 0,
+            jnp.take_along_axis(best, jnp.maximum(lb, 0), axis=1),
+            -1,
+        )
+        keep = valid & (best != blank_id) & (best != prev)
 
     pos = jnp.cumsum(keep, axis=1) - 1  # target position for kept symbols
     lengths = jnp.maximum(pos[:, -1] + 1, 0)

@@ -204,12 +204,22 @@ def fit_mcca_aligner(
 
     ranks = None
     if 0.0 < pca_var < 1.0:
+        # variance ranks honor the sample masks: zeroed (held-out) trials
+        # contribute nothing to the singular spectrum, so the masked SVD
+        # equals the train-subset SVD — an all-rows fit would let the
+        # test fold pick the whitening ranks (the reference's
+        # n_components_var only ever sees X_train)
         ranks = [
             jnp.minimum(
                 n_components,
-                n_components_for_variance(X.reshape(-1, X.shape[-1]), pca_var),
+                n_components_for_variance(
+                    (X if m is None else X * m[:, None, None]).reshape(
+                        -1, X.shape[-1]
+                    ),
+                    pca_var,
+                ),
             )
-            for X in Xs
+            for X, m in zip(Xs, masks)
         ]
 
     state = mcca_fit(flats, n_components, regs, ranks, row_mask)

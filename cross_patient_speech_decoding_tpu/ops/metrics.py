@@ -58,7 +58,7 @@ def cmat_acc(
     return jnp.trace(cm) / jnp.maximum(jnp.sum(cm), 1.0)
 
 
-def cmat_acc_iter(y_true_iter, y_pred_iter, n_classes: int):
+def cmat_acc_iter(y_true_iter, y_pred_iter):
     """Confusion-matrix accuracy per (y_true, y_pred) pair — the figure
     notebooks' ``cmat_wrap`` helper (fig_3.ipynb and 15 others).
 

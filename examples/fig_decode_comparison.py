@@ -122,7 +122,7 @@ def reconstruction_transfer(tar, cross, n_y, n_a, max_k=24):
             rec = pca_inverse_transform(
                 st_t, lat.reshape(-1, max_k)
             ).reshape(lat.shape[0], -1)
-            pred = kernel_classifier_predict(clf, rec)
+            pred = kernel_classifier_predict(clf, rec, kernel="rbf")
             accs.append(float(cmat_acc(c.y, pred, n_y)))
         out.append(tuple(accs))
     return out

@@ -464,7 +464,7 @@ def test_notebook_geometry_helpers():
     with pytest.raises(ValueError):
         array_distance(a, b, "median")
 
-    accs = cmat_acc_iter([[0, 1, 2], [0, 0, 0]], [[0, 1, 1], [0, 1, 2]], 3)
+    accs = cmat_acc_iter([[0, 1, 2], [0, 0, 0]], [[0, 1, 1], [0, 1, 2]])
     np.testing.assert_allclose(accs, [2 / 3, 1 / 3])
 
 
@@ -489,6 +489,6 @@ def test_prediction_records_from_results(tmp_path):
     )
     y_true, y_pred, wrong = prediction_records_from_results(out)
     assert len(y_true) == 2
-    accs = cmat_accuracy_from_results(out, n_classes=9)
+    accs = cmat_accuracy_from_results(out)
     manual = np.array([(t == p).mean() for t, p in zip(y_true, y_pred)])
     np.testing.assert_allclose(accs, manual, atol=1e-6)

@@ -300,3 +300,17 @@ def test_cca_vmap_over_pairs():
             np.asarray(batched.proj_b_to_a[i]), np.asarray(single.proj_b_to_a),
             atol=1e-3,
         )
+
+
+def test_shared_trial_subselect_disjoint_classes_raises():
+    import pytest
+
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        shared_trial_subselect_indices,
+    )
+
+    rng = np.random.default_rng(12)
+    with pytest.raises(ValueError, match="no shared classes"):
+        shared_trial_subselect_indices(
+            np.array([0, 0, 1]), np.array([2, 3, 3]), rng
+        )

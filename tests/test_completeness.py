@@ -95,7 +95,7 @@ def test_bagged_classifier_above_chance_and_batched():
         n_estimators=10, lam=1e-2,
     )
     assert clf.dual_coef.shape == (10, n, c)
-    preds = bagged_classifier_predict(clf, jnp.asarray(X))
+    preds = bagged_classifier_predict(clf, jnp.asarray(X), kernel="linear")
     assert (np.asarray(preds) == y).mean() > 0.9
 
 

@@ -337,3 +337,40 @@ def test_spatial_avg_matrix_matches_host_average():
     A = spatial_avg_matrix(groups, channel_ids=ids, n_channels=20)
     got = X @ A
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_trial_subsample_exact_count():
+    """The sweep's x-axis is the trial count: exactly k indices come back
+    even when k is not a multiple of the class count (9 classes, the
+    reference's k = 30, 55, 80 schedule)."""
+    rng = np.random.default_rng(8)
+    y = np.repeat(np.arange(9), 20)
+    for k in (30, 55, 80):
+        idx = trial_subsample_indices(y, k, rng)
+        assert len(idx) == k
+        assert len(np.unique(idx)) == k
+        counts = np.bincount(y[idx], minlength=9)
+        assert counts.max() - counts.min() <= 1
+    # thin classes: still exactly k by topping up from other classes
+    y2 = np.concatenate([np.zeros(2), np.ones(30), np.full(30, 2)]).astype(int)
+    idx = trial_subsample_indices(y2, 30, rng)
+    assert len(idx) == 30 and len(np.unique(idx)) == 30
+
+
+def test_pitch_subsample_channel_id_mapping():
+    """Position rows map to channel ids via channel_ids (1-based like
+    load_sig_channels); without it, position indices are the ids."""
+    ys, xs = np.mgrid[0:6, 0:6]
+    pos = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(float)
+    ids = np.arange(1, 37)  # 1-based channel ids at each position
+    rng = np.random.default_rng(9)
+    sel, idx = pitch_subsample_sig_channels(
+        pos, sig_channels=np.array([1, 5, 36]), pitch=1.0, rng=rng,
+        channel_ids=ids,
+    )
+    assert sel.min() >= 1 and sel.max() <= 36
+    assert idx.size > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_retries"):
+        pitch_subsample_sig_channels(pos, ids, 1.0, rng, max_retries=0)

@@ -244,3 +244,39 @@ def test_mcca_unregularized_rank_deficient_is_finite():
     assert np.isfinite(t1).all() and np.isfinite(t2).all()
     r = abs(np.corrcoef(t1[:, 0], t2[:, 0])[0, 1])
     assert r > 0.9, r
+
+
+def test_pca_var_ranks_honor_sample_masks():
+    """The whitening ranks must come from the TRAIN rows only: a held-out
+    trial with huge variance in an extra direction must not change the
+    fitted loadings (pre-fix it flipped the rank estimate)."""
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.ops.mcca import fit_mcca_aligner
+
+    rng = np.random.default_rng(11)
+    N, T, K, C = 24, 6, 5, 3
+    Xs, ids = [], []
+    for p in range(2):
+        X = rng.normal(size=(N, T, K)).astype(np.float32) * 0.1
+        X[..., 0] += 3.0  # one dominant direction on the train rows
+        Xs.append(X)
+        ids.append(np.repeat(np.arange(C), N // C).astype(np.int32))
+    # corrupt the final row (held out) with massive variance everywhere
+    X_bad = [x.copy() for x in Xs]
+    for x in X_bad:
+        x[-1] = rng.normal(size=(T, K)).astype(np.float32) * 100.0
+    mask = np.ones(N, np.float32)
+    mask[-1] = 0.0
+
+    kw = dict(n_classes=C, n_components=3, regs=0.5, pca_var=0.9)
+    st_clean = fit_mcca_aligner(
+        [jnp.asarray(x) for x in Xs], [jnp.asarray(i) for i in ids],
+        sample_masks=[jnp.asarray(mask)] * 2, **kw,
+    )
+    st_corrupt = fit_mcca_aligner(
+        [jnp.asarray(x) for x in X_bad], [jnp.asarray(i) for i in ids],
+        sample_masks=[jnp.asarray(mask)] * 2, **kw,
+    )
+    for a, b in zip(st_clean.loadings, st_corrupt.loadings):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -205,3 +205,29 @@ def test_stacked_rnn_fused_bidir_wiring(monkeypatch):
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(lasts_fused),
                                np.asarray(lasts_ref), atol=2e-6)
+
+
+def test_greedy_decode_interleaved_frame_mask():
+    """Repeat collapse with a non-contiguous frame mask compares against
+    the last VALID frame: decoding must equal greedy decode of the valid
+    subsequence."""
+    from cross_patient_speech_decoding_tpu.ops.ctc import greedy_decode
+
+    def lp(path, V=4):
+        out = np.full((1, len(path), V), -5.0, np.float32)
+        for t, s in enumerate(path):
+            out[0, t, s] = 0.0
+        return jnp.asarray(out)
+
+    # [a, b(masked), a] -> valid frames a,a -> ONE 'a'
+    dec, n = greedy_decode(lp([1, 2, 1]), frame_mask=jnp.asarray([[1., 0., 1.]]))
+    assert int(n[0]) == 1 and int(dec[0, 0]) == 1
+    # [a, a(masked), a] -> also one 'a'
+    dec, n = greedy_decode(lp([1, 1, 1]), frame_mask=jnp.asarray([[1., 0., 1.]]))
+    assert int(n[0]) == 1 and int(dec[0, 0]) == 1
+    # [a, blank(valid), a] -> 'a a' (blank splits the repeat)
+    dec, n = greedy_decode(lp([1, 0, 1]), frame_mask=jnp.asarray([[1., 1., 1.]]))
+    assert int(n[0]) == 2 and list(np.asarray(dec[0, :2])) == [1, 1]
+    # suffix padding unchanged: [a, b, pad] -> 'a b'
+    dec, n = greedy_decode(lp([1, 2, 3]), frame_mask=jnp.asarray([[1., 1., 0.]]))
+    assert int(n[0]) == 2 and list(np.asarray(dec[0, :2])) == [1, 2]
