@@ -460,8 +460,8 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
     )
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
                         end_factor=0.01, clip=cfg.clip)
-    train_step = make_seq2seq_train_step(model, tx)
-    eval_step = make_seq2seq_eval_step(model)
+    train_step = jax.jit(make_seq2seq_train_step(model, tx))
+    eval_step = jax.jit(make_seq2seq_eval_step(model))
 
     # kill-and-resume: per-iteration fold accuracies persist in a progress
     # pkl next to the CSV output; per-iteration seeding keeps the
@@ -801,8 +801,8 @@ def run_train_nn(cfg, verbose: bool = True):
     model = _make_nn_classifier(cfg, n_y)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
                         end_factor=0.01, clip=cfg.clip)
-    train_step = make_classifier_train_step(model, tx)
-    eval_step = make_classifier_eval_step(model)
+    train_step = jax.jit(make_classifier_train_step(model, tx))
+    eval_step = jax.jit(make_classifier_eval_step(model))
     y_host = np.asarray(tar.y)
 
     if cfg.out:
@@ -1012,12 +1012,19 @@ def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
     return datasets, max_k, _with_labels(np.asarray(lat_te, np.float32), y_te)
 
 
-def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
+def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator,
+                      tar_train_mask=None):
     """Pool/align CTC data per context (select_datamodule analog).
 
     Returns (datasets, n_features, test): datasets[0] is the target train
     set; ``test`` is the file-defined held-out set (None for synthetic
     data, where the caller splits by mask).
+
+    ``tar_train_mask`` (synthetic pooled contexts): (n_tar,) float mask of
+    the iteration's target TRAIN rows — the target PCA and every CCA fit
+    are restricted to it so held-out trials (and their alignment labels)
+    never shape the pooled features. Cross patients' own fits stay
+    full-data: all their rows are training data.
     """
     if cfg.data != "synthetic":
         return _load_ctc_files(cfg, rng)
@@ -1042,11 +1049,18 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
 
     # pooled contexts: per-patient PCA to a common width
     max_k = 32
+    maskj = (
+        None if tar_train_mask is None
+        else jnp.asarray(tar_train_mask, jnp.float32)
+    )
     lats, metas = [], []
     ids = []
     for i, (X, y, il, ll) in enumerate(pts):
         Xj = jnp.asarray(X)
-        pca = _fit_pca_latents(Xj, cfg.n_components, max_k)
+        pca = _fit_pca_latents(
+            Xj, cfg.n_components, max_k,
+            sample_mask=maskj if i == 0 else None,
+        )
         lat = _transform_latents(pca, Xj, max_k)
         lats.append(lat)
         metas.append((y, il, ll))
@@ -1058,7 +1072,8 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator):
     out = []
     for i, lat in enumerate(lats):
         if cfg.context == "aligned" and i > 0:
-            al = fit_cca_aligner(lats[0], lat, idsj[0], idsj[i], len(uni))
+            al = fit_cca_aligner(lats[0], lat, idsj[0], idsj[i], len(uni),
+                                 mask_a=maskj)
             lat = transform_b_to_a(al, lat)
         y, il, ll = metas[i]
         out.append((lat.astype(jnp.float32), y, il, ll))
@@ -1263,29 +1278,69 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     # ingestion is rng-dependent only for chance-label shuffling and
     # target subsampling; otherwise hoist it out of the iteration loop —
     # n_iter=50 would pay 50x the h5 reads, tunnel transfers and PCA/CCA
-    # fits for bitwise-identical datasets
-    prep_invariant = cfg.context != "chance" and cfg.target_subsample >= 1.0
+    # fits for bitwise-identical datasets. EXCEPTION: synthetic pooled
+    # contexts fit the target PCA/CCA on each iteration's TRAIN rows only
+    # (leak-free, like the reference's per-run datamodule fits), so their
+    # prep is mask-dependent and cannot be cached across iterations.
+    synth_pooled = (
+        cfg.data == "synthetic" and cfg.context in ("aligned", "unaligned")
+    )
+    prep_invariant = (
+        cfg.context != "chance" and cfg.target_subsample >= 1.0
+        and not synth_pooled
+    )
     prep_cache = None
     if prep_invariant and len(pers) < cfg.n_iter:
         prep_cache = _prep_ctc_context(cfg, np.random.default_rng(cfg.seed))
+    n_tar = (
+        len(_synthetic_ctc(seed=cfg.seed)[0][1]) if synth_pooled else None
+    )
+
+    # model/optimizer/step programs are iteration-invariant: building (and
+    # jitting) them once keeps ONE trace across the n_iter loop instead of
+    # re-lowering the full CTC train/eval programs every iteration
+    model = RealtimeRNN(
+        hidden=cfg.hidden, n_layers=cfg.n_layers, n_classes=11,
+        dropout=cfg.dropout, win_size=cfg.win_size, stride=cfg.stride,
+    )
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_steps,
+                        clip=cfg.clip)
+    train_step = jax.jit(make_ctc_train_step(model, tx))
+    eval_step = jax.jit(make_ctc_eval_step(model))
+    logits_fn = jax.jit(
+        lambda s, x: jax.nn.log_softmax(
+            model.apply({"params": s.params}, x, True), axis=-1
+        )
+    )
 
     for it in range(len(pers), cfg.n_iter):
         # per-iteration generator so resumed runs are deterministic
         rng = np.random.default_rng(cfg.seed + 7919 * it)
-        datasets, C, test = (
-            prep_cache if prep_cache is not None
-            else _prep_ctc_context(cfg, rng)
-        )
-        X_t, y_t, il_t, ll_t = datasets[0]
-        n = len(X_t)
-        if test is None:
+        if synth_pooled:
+            # split FIRST (prep consumes no rng here), then fit the
+            # target-side PCA/CCA on the train rows only
             tr, va, te = train_val_test_masks(
-                n, rng, cfg.val_frac, cfg.test_frac
+                n_tar, rng, cfg.val_frac, cfg.test_frac
+            )
+            datasets, C, test = _prep_ctc_context(
+                cfg, rng, tar_train_mask=tr
             )
             te_i = np.where(te > 0)[0]
         else:
-            tr, va, _ = train_val_test_masks(n, rng, cfg.val_frac, 0.0)
-            te_i = None
+            datasets, C, test = (
+                prep_cache if prep_cache is not None
+                else _prep_ctc_context(cfg, rng)
+            )
+            n = len(datasets[0][0])
+            if test is None:
+                tr, va, te = train_val_test_masks(
+                    n, rng, cfg.val_frac, cfg.test_frac
+                )
+                te_i = np.where(te > 0)[0]
+            else:
+                tr, va, _ = train_val_test_masks(n, rng, cfg.val_frac, 0.0)
+                te_i = None
+        X_t, y_t, il_t, ll_t = datasets[0]
         tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
 
         def batch(idx):
@@ -1321,12 +1376,6 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                 train_batch, aug_names, jax.random.key(cfg.seed + 500 + it)
             )
 
-        model = RealtimeRNN(
-            hidden=cfg.hidden, n_layers=cfg.n_layers, n_classes=11,
-            dropout=cfg.dropout, win_size=cfg.win_size, stride=cfg.stride,
-        )
-        tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_steps,
-                            clip=cfg.clip)
         if init_vars is not None:
             want = init_vars["params"]["rnn"]["fwd0"]["wi"].shape[0]
             have = train_batch[0].shape[-1] * cfg.win_size
@@ -1346,8 +1395,8 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         with _maybe_trace(cfg.trace and it == start_it, cfg.out, run_name):
             res = fit_loop(
                 state,
-                make_ctc_train_step(model, tx),
-                make_ctc_eval_step(model),
+                train_step,
+                eval_step,
                 train_batch,
                 batch(va_i),
                 epochs=cfg.epochs,
@@ -1361,7 +1410,7 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                     if cfg.log_metrics else None
                 ),
             )
-        test_metrics = jax.jit(make_ctc_eval_step(model))(res.best_state, test_batch)
+        test_metrics = eval_step(res.best_state, test_batch)
         per = float(test_metrics["per"])
         if cfg.decode == "beam":
             per = _beam_rescore_per(model, res.best_state, test_batch, cfg)
@@ -1370,11 +1419,7 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         if cfg.save_logits:
             # per-iteration test log-probs, the reference results-h5
             # 'logits' dataset (train_ctc_rnn.py:215-224, 483)
-            lp = jax.jit(
-                lambda s, x: jax.nn.log_softmax(
-                    model.apply({"params": s.params}, x, True), axis=-1
-                )
-            )(res.best_state, test_batch[0])
+            lp = logits_fn(res.best_state, test_batch[0])
             extra = {"logits": np.asarray(lp)}
         if cfg.out:
             append_results_pkl(cfg.out, np.asarray([per]), params=vars(cfg),
@@ -1494,15 +1539,32 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
             align_pt=cfg.align_pt, context=context, seed=cfg.seed,
             n_components=cfg.n_components,
         )
-        datasets, _, _ = _prep_ctc_context(prep_cfg, rng)
+        if cfg.data == "synthetic":
+            # split FIRST so the pooled PCA/CCA fit excludes the val rows
+            # (the leak-free prep; prep consumes no rng on this path)
+            n_tar = len(_synthetic_ctc(seed=cfg.seed)[0][1])
+            tr, va, _ = train_val_test_masks(n_tar, rng)
+            datasets, _, _ = _prep_ctc_context(
+                prep_cfg, rng, tar_train_mask=tr
+            )
+        else:
+            datasets, _, _ = _prep_ctc_context(prep_cfg, rng)
+            tr, va, _ = train_val_test_masks(len(datasets[0][0]), rng)
         X, y, il, ll = datasets[0]
-        tr, va, _ = train_val_test_masks(len(X), rng)
         tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
         Xs = [X[tr_i]] + [d[0] for d in datasets[1:]]
         ys = [y[tr_i]] + [d[1] for d in datasets[1:]]
         ils = [il[tr_i]] + [d[2] for d in datasets[1:]]
         lls = [ll[tr_i]] + [d[3] for d in datasets[1:]]
-        train = tuple(jnp.asarray(np.concatenate(a)) for a in (Xs, ys, ils, lls))
+        # X concat on DEVICE: synthetic latents live on-chip and a
+        # np.concatenate would round-trip them through the ~30 MB/s
+        # tunnel; labels/lengths are tiny host arrays
+        train = (
+            jnp.concatenate([jnp.asarray(a) for a in Xs]),
+            jnp.asarray(np.concatenate([np.asarray(a) for a in ys])),
+            jnp.asarray(np.concatenate([np.asarray(a) for a in ils])),
+            jnp.asarray(np.concatenate([np.asarray(a) for a in lls])),
+        )
         val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
     else:
         pts = _synthetic_ctc(seed=cfg.seed)

@@ -130,7 +130,21 @@ def _setup(cfg: SubsampleConfig):
     return tar, cross, dcfg, [names[0], *cross_names]
 
 
-def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng):
+_DECODER_CACHE: dict = {}
+
+
+def _cv_decoder(strategy: str, dcfg):
+    """One jitted CV-decoder per (strategy, config): make_cv_decoder
+    returns a fresh jax.jit closure whose trace cache starts empty, so
+    rebuilding it per sweep point x iteration would retrace the full
+    vmapped fold program on every call."""
+    key = (strategy, tuple(sorted(vars(dcfg).items())))
+    if key not in _DECODER_CACHE:
+        _DECODER_CACHE[key] = make_cv_decoder(strategy, dcfg)
+    return _DECODER_CACHE[key]
+
+
+def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng, tar_y_host=None):
     """Mean CV accuracy of one sweep point; ``nested=True`` runs the
     reference's per-fold BayesSearchCV analog at every point instead of
     the fixed-hyperparameter fit (aligned_decode_grid_subsample.py:335)."""
@@ -146,8 +160,10 @@ def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng):
             seed=int(rng.integers(2**31)),
         )
         return float(np.asarray(accs).mean())
-    decoder = make_cv_decoder(cfg.strategy, dcfg)
-    tr, te = stratified_kfold_masks(np.asarray(tar.y), cfg.n_folds, rng)
+    decoder = _cv_decoder(cfg.strategy, dcfg)
+    if tar_y_host is None:  # avoid a ~0.4 s D2H sync per call (CLAUDE.md)
+        tar_y_host = np.asarray(tar.y)
+    tr, te = stratified_kfold_masks(tar_y_host, cfg.n_folds, rng)
     accs = decoder(tar, tuple(cross), jnp.asarray(tr), jnp.asarray(te))
     return float(np.asarray(accs).mean())
 
@@ -172,12 +188,17 @@ def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
     median_n = int(np.median([c.X.shape[0] for c in cross]))
     ks = list(range(cfg.k_start, median_n + 1, cfg.k_step))
 
+    # host label copies ONCE per patient: a D2H sync inside the
+    # k x iter x patient loop pays the tunnel's ~0.4 s each time
+    tar_y_host = np.asarray(tar.y)
+    cross_y_host = [np.asarray(c.y) for c in cross]
+
     results = np.zeros((len(ks), cfg.n_iter))
     for ki, k in enumerate(ks):
         for it in range(cfg.n_iter):
             sub_cross = []
-            for c in cross:
-                idx = trial_subsample_indices(np.asarray(c.y), k, rng)
+            for c, y_host in zip(cross, cross_y_host):
+                idx = trial_subsample_indices(y_host, k, rng)
                 sub_cross.append(
                     PatientArrays(
                         X=c.X[jnp.asarray(idx)],
@@ -185,7 +206,8 @@ def run_trial_subsample(cfg: SubsampleConfig, verbose: bool = True):
                         y_align=c.y_align[jnp.asarray(idx)],
                     )
                 )
-            results[ki, it] = _decode(tar, sub_cross, dcfg, cfg, rng)
+            results[ki, it] = _decode(tar, sub_cross, dcfg, cfg, rng,
+                                      tar_y_host=tar_y_host)
         if verbose:
             print(f"k={k}: acc {results[ki].mean():.3f}", flush=True)
     _save_results(cfg, "trials", {"ks": np.asarray(ks), "accs": results})
@@ -264,6 +286,7 @@ def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
     tar, cross, dcfg, names = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
     geom = _patient_geometry(cfg, names, (tar, *cross))
+    tar_y_host = np.asarray(tar.y)  # one D2H, reused by every decode
     results = {}
     for win in cfg.win_sizes:
         wh, ww = _parse_win(win)
@@ -292,7 +315,8 @@ def run_grid_subsample(cfg: SubsampleConfig, verbose: bool = True):
                 for c, g in zip(cross, grids[1:])
             ]
             accs.append(
-                _decode(sub_tar, sub_cross, dcfg, cfg, rng)
+                _decode(sub_tar, sub_cross, dcfg, cfg, rng,
+                        tar_y_host=tar_y_host)
             )
         results[win] = np.asarray(accs)
         if verbose:
@@ -372,6 +396,7 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
     tar, cross, dcfg, names = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
     geom = _patient_geometry(cfg, names, (tar, *cross))
+    tar_y_host = np.asarray(tar.y)
     for cs in cfg.contact_sizes:
         pts_avg = []
         for p, (cmap, sig, _) in zip((tar, *cross), geom):
@@ -385,7 +410,8 @@ def run_spatial_avg(cfg: SubsampleConfig, verbose: bool = True):
                 PatientArrays(X=Xa, y=p.y, y_align=p.y_align)
             )
         accs = [
-            _decode(pts_avg[0], pts_avg[1:], dcfg, cfg, rng)
+            _decode(pts_avg[0], pts_avg[1:], dcfg, cfg, rng,
+                    tar_y_host=tar_y_host)
             for _ in range(cfg.n_iter)
         ]
         results[cs] = np.asarray(accs)
@@ -407,6 +433,7 @@ def run_pitch_subsample(cfg: SubsampleConfig, verbose: bool = True):
     tar, cross, dcfg, names = _setup(cfg)
     rng = np.random.default_rng(cfg.seed)
     geom = _patient_geometry(cfg, names, (tar, *cross))
+    tar_y_host = np.asarray(tar.y)
     results = {}
     for pitch in cfg.pitches:
         accs = []
@@ -433,7 +460,8 @@ def run_pitch_subsample(cfg: SubsampleConfig, verbose: bool = True):
                     )
                 pts_sub.append(_gather_channels(p, idx))
             accs.append(
-                _decode(pts_sub[0], pts_sub[1:], dcfg, cfg, rng)
+                _decode(pts_sub[0], pts_sub[1:], dcfg, cfg, rng,
+                        tar_y_host=tar_y_host)
             )
         results[pitch] = np.asarray(accs)
         if verbose:

@@ -134,6 +134,11 @@ class StackedRNN(nn.Module):
     Equivalent of ``nn.GRU(num_layers, bidirectional)`` /
     reference StackedRNN (realtime_nn_model.py:22-63): inter-layer dropout,
     per-direction last hidden states returned as (n_layers*n_dir, B, H).
+
+    LSTM carry: ``h0`` may be a (h, c) tuple of (n_layers*n_dir, B, H)
+    stacks, and the returned last-state is then the same tuple shape, so
+    an autoregressive caller (DecoderRNN) round-trips the CELL state too —
+    a bare-array ``h0`` for an LSTM means h with zero initial c.
     """
 
     hidden: int
@@ -146,16 +151,22 @@ class StackedRNN(nn.Module):
     def __call__(
         self,
         x: jax.Array,
-        h0: Optional[jax.Array] = None,
+        h0=None,
         deterministic: bool = True,
     ):
         Cell = FusedGRU if self.cell == "gru" else FusedLSTM
         n_dir = 2 if self.bidirectional else 1
         lasts = []
         out = x
+        h0_is_tuple = isinstance(h0, tuple)
         for layer in range(self.n_layers):
-            h0_f = None if h0 is None else h0[layer * n_dir]
-            if self.cell == "lstm" and h0_f is not None:
+            if h0 is None:
+                h0_f = None
+            elif h0_is_tuple:
+                h0_f = (h0[0][layer * n_dir], h0[1][layer * n_dir])
+            else:
+                h0_f = h0[layer * n_dir]
+            if self.cell == "lstm" and h0_f is not None and not h0_is_tuple:
                 h0_f = (h0_f, jnp.zeros_like(h0_f))
             from cross_patient_speech_decoding_tpu.ops import pallas_gru
 
@@ -190,8 +201,16 @@ class StackedRNN(nn.Module):
                 continue
             fwd, last_f = Cell(self.hidden, name=f"fwd{layer}")(out, h0_f)
             if self.bidirectional:
-                h0_b = None if h0 is None else h0[layer * n_dir + 1]
-                if self.cell == "lstm" and h0_b is not None:
+                if h0 is None:
+                    h0_b = None
+                elif h0_is_tuple:
+                    h0_b = (
+                        h0[0][layer * n_dir + 1], h0[1][layer * n_dir + 1]
+                    )
+                else:
+                    h0_b = h0[layer * n_dir + 1]
+                if (self.cell == "lstm" and h0_b is not None
+                        and not h0_is_tuple):
                     h0_b = (h0_b, jnp.zeros_like(h0_b))
                 bwd, last_b = Cell(self.hidden, reverse=True, name=f"bwd{layer}")(
                     out, h0_b
@@ -204,7 +223,11 @@ class StackedRNN(nn.Module):
             if self.dropout > 0 and layer < self.n_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if self.cell == "lstm":
-            lasts = [l[0] for l in lasts]
+            # (h, c) stacks so autoregressive callers carry the cell state
+            return out, (
+                jnp.stack([l[0] for l in lasts]),
+                jnp.stack([l[1] for l in lasts]),
+            )
         return out, jnp.stack(lasts)  # (B,T,H*n_dir), (n_layers*n_dir, B, H)
 
 
@@ -253,7 +276,9 @@ class PositionalEncoding(nn.Module):
         )
         pe = jnp.zeros((self.max_len, self.d_model))
         pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
-        pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: (self.d_model + 1) // 2]))
+        # odd d_model: the cos lane has one fewer column than div
+        # (reference models.py:808-820 pads to even then slices back)
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: self.d_model // 2]))
         return x + pe[None, :T, :].astype(x.dtype)
 
 

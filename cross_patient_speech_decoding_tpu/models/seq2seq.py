@@ -45,7 +45,13 @@ class EncoderRNN(nn.Module):
             bidirectional=True,
             cell=self.cell,
         )(x, deterministic=deterministic)
-        # lasts: (n_layers*2, B, H); last layer fwd + bwd summed
+        # lasts: (n_layers*2, B, H); last layer fwd + bwd summed. For LSTM
+        # both h AND c are summed and carried (the reference's intent at
+        # models.py:701-714 — its own LSTM path then crashes on
+        # `enc_hidden.repeat` over the tuple, fixed here)
+        if self.cell == "lstm":
+            h, c = lasts
+            return out, (h[-2] + h[-1], c[-2] + c[-1])
         enc_hidden = lasts[-2] + lasts[-1]
         return out, enc_hidden
 
@@ -121,7 +127,13 @@ class Seq2SeqRNN(nn.Module):
             self.rnn_dropout,
             self.cell,
         )
-        hidden = jnp.tile(enc_hidden[None], (self.n_dec_layers, 1, 1))
+        if self.cell == "lstm":
+            hidden = tuple(
+                jnp.tile(s[None], (self.n_dec_layers, 1, 1))
+                for s in enc_hidden
+            )
+        else:
+            hidden = jnp.tile(enc_hidden[None], (self.n_dec_layers, 1, 1))
         token = jnp.full((B,), self.num_classes, jnp.int32)  # start token
 
         use_tf = y is not None and teacher_forcing_ratio > 0

@@ -81,8 +81,13 @@ def fit(
     train_batch/val_batch are tuples of device arrays with dim 0 = samples;
     mini-batching (if requested) gathers index subsets on device.
     """
-    train_step = jax.jit(train_step)
-    eval_step = jax.jit(eval_step)
+    # don't re-wrap callers' already-jitted steps: a fresh jax.jit wrapper
+    # per fit() call has an empty trace cache, so drivers calling fit in a
+    # loop would re-trace the full program every iteration
+    if not isinstance(train_step, jax.stages.Wrapped):
+        train_step = jax.jit(train_step)
+    if not isinstance(eval_step, jax.stages.Wrapped):
+        eval_step = jax.jit(eval_step)
     sign = 1.0 if mode == "min" else -1.0
     best = math.inf
     best_state = state

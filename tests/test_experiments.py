@@ -666,3 +666,40 @@ def test_realtime_out_requires_samples(tmp_path):
                               out=str(tmp_path / "lat.pkl")),
             verbose=False,
         )
+
+
+def test_prep_ctc_pooled_mask_restricts_fits():
+    """Synthetic pooled contexts fit target PCA/CCA on the train mask
+    only: a different mask must change the pooled features (pre-fix the
+    mask was ignored and the full-data fit leaked held-out rows)."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _prep_ctc_context,
+    )
+
+    cfg = TrainCTCConfig(context="aligned", n_iter=1)
+    rng = np.random.default_rng(0)
+    n = len(_prep_ctc_context(cfg, rng)[0][0][1])
+    mask = np.ones(n, np.float32)
+    mask[: n // 3] = 0.0
+
+    full, _, _ = _prep_ctc_context(cfg, rng)
+    masked, _, _ = _prep_ctc_context(cfg, rng, tar_train_mask=mask)
+    assert all(np.isfinite(np.asarray(d[0])).all() for d in masked)
+    # the target latent projection must differ when a third of the rows
+    # are excluded from the PCA fit
+    assert not np.allclose(
+        np.asarray(full[0][0]), np.asarray(masked[0][0]), atol=1e-6
+    )
+
+
+def test_positional_encoding_odd_d_model():
+    from cross_patient_speech_decoding_tpu.models.layers import (
+        PositionalEncoding,
+    )
+
+    import jax.numpy as jnp
+
+    x = jnp.zeros((2, 5, 7))
+    out = PositionalEncoding(7, max_len=16).apply({}, x)
+    assert out.shape == (2, 5, 7)
+    assert np.isfinite(np.asarray(out)).all()

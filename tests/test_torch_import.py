@@ -244,3 +244,90 @@ def test_train_ctc_warm_start_from_ckpt(tmp_path):
                            init_ckpt=str(wrong_k), out=""),
             verbose=False,
         )
+
+
+def test_stacked_lstm_carries_cell_state():
+    """StackedRNN LSTM round-trips (h, c): splitting a sequence and
+    passing the carry equals one full pass (pre-fix, c was zero-reset at
+    the split and this failed)."""
+    from cross_patient_speech_decoding_tpu.models.layers import StackedRNN
+    from cross_patient_speech_decoding_tpu.models.torch_import import (
+        stacked_rnn_params_from_torch,
+    )
+
+    torch.manual_seed(7)
+    F, H, L, B, T = 5, 6, 2, 3, 12
+    lstm = tnn.LSTM(F, H, L, batch_first=True)
+    sd = {f"r.{k}": v.numpy() for k, v in lstm.state_dict().items()}
+    params = {"params": stacked_rnn_params_from_torch(sd, "r", L, cell="lstm")}
+    model = StackedRNN(H, L, cell="lstm")
+
+    x = np.random.default_rng(10).standard_normal((B, T, F)).astype(np.float32)
+    full, (h_full, c_full) = model.apply(params, jnp.asarray(x))
+
+    o1, carry = model.apply(params, jnp.asarray(x[:, :7]))
+    o2, (h2, c2) = model.apply(params, jnp.asarray(x[:, 7:]), carry)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(o1), np.asarray(o2)], 1),
+        np.asarray(full), atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h_full), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_full), atol=2e-5)
+
+    with torch.no_grad():
+        theirs, (ht, ct) = lstm(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(full), theirs.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_full), ht.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_full), ct.numpy(), atol=2e-5)
+
+
+def test_seq2seq_lstm_import_forward_parity(tmp_path):
+    """LSTM seq2seq checkpoints import and decode with the full (h, c)
+    carry — the reference's intended LSTM path (its own crashes on
+    `enc_hidden.repeat` over the state tuple, models.py:280)."""
+    torch.manual_seed(8)
+    C, F, ker, H, K = 3, 6, 4, 8, 5
+    n_enc, n_dec, T, B, seq_len = 2, 2, 24, 4, 3
+    conv = tnn.Conv1d(C, F, ker)
+    bn = tnn.BatchNorm1d(F)
+    with torch.no_grad():
+        bn.running_mean.normal_()
+        bn.running_var.uniform_(0.5, 2.0)
+    enc = tnn.LSTM(F, H, n_enc, batch_first=True, bidirectional=True)
+    emb = tnn.Embedding(K + 1, H)
+    dec = tnn.LSTM(H, H, n_dec, batch_first=True)
+    fc = tnn.Linear(H, K)
+    sd = {}
+    for prefix, mod in [("temporal_conv.conv", conv), ("temporal_conv.bn", bn),
+                        ("encoder.rnn", enc), ("decoder.embedding", emb),
+                        ("decoder.rnn", dec), ("decoder.fc_out", fc)]:
+        sd.update({f"{prefix}.{k}": v for k, v in mod.state_dict().items()})
+    hp = dict(in_channels=C, n_filters=F, hidden_size=H, num_classes=K,
+              n_enc_layers=n_enc, n_dec_layers=n_dec, kernel_size=ker,
+              model_type="lstm", seq_length=seq_len)
+    path = _save_ckpt(tmp_path, "s2s_lstm.ckpt", sd, hp)
+
+    model, variables = seq2seq_from_ckpt(path)
+    assert model.cell == "lstm"
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x),
+                                  deterministic=True))
+
+    with torch.no_grad():
+        bn.eval()
+        h = torch.relu(bn(conv(torch.from_numpy(x).permute(0, 2, 1))))
+        _, (hn, cn) = enc(h.permute(0, 2, 1))
+        hn = hn.view(n_enc, 2, B, H)
+        cn = cn.view(n_enc, 2, B, H)
+        dh = (hn[-1, 0] + hn[-1, 1]).unsqueeze(0).repeat(n_dec, 1, 1)
+        dc = (cn[-1, 0] + cn[-1, 1]).unsqueeze(0).repeat(n_dec, 1, 1)
+        tok = torch.full((B,), K, dtype=torch.long)
+        outs = []
+        for _ in range(seq_len):
+            o, (dh, dc) = dec(emb(tok).unsqueeze(1), (dh, dc))
+            logit = fc(o[:, 0])
+            outs.append(logit)
+            tok = logit.argmax(1)
+        theirs = torch.stack(outs, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
