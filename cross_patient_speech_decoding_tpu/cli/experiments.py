@@ -1595,6 +1595,30 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
             trials, trainer, manifest=Manifest(cfg.manifest), rungs=rungs,
             eta=cfg.eta,
         )
+    if results and cfg.hparam_out:
+        # tune -> train handoff: persist the winner in the reference's
+        # tuned-hparams h5 layout so `cpsd train-ctc hparam_dir=...`
+        # picks it up (train_ctc_rnn.py:375-423 contract)
+        from cross_patient_speech_decoding_tpu.data.loaders import (
+            save_tuned_hparams,
+        )
+
+        best_cfg = results[0]["config"]
+        context = "aligned" if cfg.align_train else (
+            "unaligned" if cfg.pool_train else "patient"
+        )
+        path = save_tuned_hparams(
+            cfg.hparam_out, cfg.target_pt, _CONTEXT_NAMES[context],
+            {
+                "learning_rate": float(best_cfg["lr"]),
+                "l2_reg": float(best_cfg["weight_decay"]),
+                "hidden_size": int(best_cfg["hidden"]),
+                "n_layers": int(best_cfg["n_layers"]),
+                "dropout": float(best_cfg["dropout"]),
+            },
+        )
+        if verbose:
+            print(f"tuned hparams -> {path}", flush=True)
     if verbose and results:
         best = results[0]
         print(f"best val PER {best['metric']:.1f}% config {best['config']}",

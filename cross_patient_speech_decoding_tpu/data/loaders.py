@@ -391,6 +391,25 @@ def load_tuned_hparams(hparam_dir: str | Path, target_pt: str, context: str,
     return out
 
 
+def save_tuned_hparams(hparam_dir: str | Path, target_pt: str, context: str,
+                       hparams: dict) -> Path:
+    """Write a tuned-hparams h5 in the layout ``load_tuned_hparams`` (and
+    the reference's ``train_ctc_rnn.load_hparams``) reads:
+    ``{hparam_dir}/{pt}/{pt}_ctcRNN_{context}_hp.h5`` with one scalar
+    dataset per hyperparameter — the tune -> train handoff
+    (`tune_ctc_rnn.py` writes these for `train_ctc_rnn.py:375-423`)."""
+    import h5py
+
+    fname = Path(hparam_dir).expanduser() / target_pt / (
+        f"{target_pt}_ctcRNN_{context}_hp.h5"
+    )
+    fname.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(str(fname), "w") as f:
+        for k, v in hparams.items():
+            f.create_dataset(k, data=v)
+    return fname
+
+
 # --------------------------------------------------------------- results ----
 
 def append_results_pkl(path: str | Path, accs, params: dict | None = None,

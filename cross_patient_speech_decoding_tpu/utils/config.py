@@ -304,6 +304,10 @@ class TuneCTCConfig:
     n_components: float = 0.9
     seed: int = 0
     manifest: str = "results/tune_manifest.jsonl"
+    # tune -> train handoff: when set, the winning config is written as
+    # {hparam_out}/{pt}/{pt}_ctcRNN_{context}_hp.h5 — the reference's
+    # tuned-hparams layout consumed by `cpsd train-ctc hparam_dir=...`
+    hparam_out: str = ""
 
 
 @dataclass

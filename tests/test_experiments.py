@@ -703,3 +703,32 @@ def test_positional_encoding_odd_d_model():
     out = PositionalEncoding(7, max_len=16).apply({}, x)
     assert out.shape == (2, 5, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tune_to_train_hparam_handoff(tmp_path):
+    """cpsd tune-ctc hparam_out=... writes the reference's tuned-hparams
+    h5; cpsd train-ctc hparam_dir=... overlays it (the tune -> train
+    handoff, train_ctc_rnn.py:375-423)."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _apply_tuned_hparams,
+        run_tune_ctc,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import TuneCTCConfig
+
+    hp_dir = tmp_path / "hp"
+    results = run_tune_ctc(
+        TuneCTCConfig(n_trials=2, rungs="2", hparam_out=str(hp_dir),
+                      manifest=str(tmp_path / "m.jsonl")),
+        verbose=False,
+    )
+    best = results[0]["config"]
+    f = hp_dir / "S14" / "S14_ctcRNN_ptSpecific_hp.h5"
+    assert f.exists()
+
+    cfg = _apply_tuned_hparams(
+        TrainCTCConfig(context="patient", hparam_dir=str(hp_dir))
+    )
+    assert cfg.lr == pytest.approx(best["lr"])
+    assert cfg.weight_decay == pytest.approx(best["weight_decay"])
+    assert cfg.hidden == best["hidden"]
+    assert cfg.n_layers == best["n_layers"]
