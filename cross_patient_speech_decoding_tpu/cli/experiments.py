@@ -1426,6 +1426,29 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                                extra=extra)
         if verbose:
             print(f"iter {it} [{cfg.context}]: test PER {per:.1f}%", flush=True)
+    if cfg.results_h5:
+        # also emit the reference's results-h5 layout
+        # (train_ctc_rnn.py:448-491) so notebooks written against it keep
+        # working; logits come from the incremental pkl when saved
+        from cross_patient_speech_decoding_tpu.data.loaders import (
+            save_ctc_results_h5,
+        )
+        from cross_patient_speech_decoding_tpu.utils.labels import PHON_DICT
+
+        logits = None
+        if cfg.save_logits and cfg.out and Path(cfg.out).exists():
+            ex = load_pkl(cfg.out).get("extra", [])
+            if ex and all(e and "logits" in e for e in ex):
+                logits = np.stack([e["logits"] for e in ex])
+        save_ctc_results_h5(
+            cfg.results_h5, np.asarray(pers), logits, PHON_DICT,
+            model_hparams={
+                "hidden_size": cfg.hidden, "n_layers": cfg.n_layers,
+                "dropout": cfg.dropout, "learning_rate": cfg.lr,
+                "l2_reg": cfg.weight_decay, "win_size": cfg.win_size,
+                "stride": cfg.stride,
+            },
+        )
     return np.asarray(pers)
 
 
@@ -1809,6 +1832,19 @@ def run_analyze(cfg, verbose: bool = True):
             raise ValueError(f"input '{spec}' is not name=path")
         if name in groups:
             raise ValueError(f"duplicate input name '{name}'")
+        if path.endswith((".h5", ".hdf5")):
+            # a reference CTC results h5 (train_ctc_rnn.py:448-491):
+            # migrating users compare their EXISTING result files
+            # against runs from this framework directly
+            from cross_patient_speech_decoding_tpu.data.loaders import (
+                load_ctc_results_h5,
+            )
+
+            pers = load_ctc_results_h5(path)["phoneme_error_rate"]
+            groups[name] = np.array(
+                [float(np.ravel(p).mean()) for p in pers]
+            )
+            continue
         store = load_pkl(path)
         accs = store.get("accs", [])
         if not accs:

@@ -391,6 +391,59 @@ def load_tuned_hparams(hparam_dir: str | Path, target_pt: str, context: str,
     return out
 
 
+def load_ctc_results_h5(path: str | Path) -> dict:
+    """Read a reference CTC results h5 (`train_ctc_rnn.save_results`,
+    train_ctc_rnn.py:448-491): per-iteration ``phoneme_error_rate``,
+    ``logits``, the ``phon_keys``/``phon_vals`` token table, and the
+    ``model_hparams`` attribute group — so existing reference result
+    files feed this framework's analysis flows directly."""
+    import h5py
+
+    out: dict = {}
+    with h5py.File(str(Path(path).expanduser()), "r") as f:
+        out["phoneme_error_rate"] = np.asarray(f["phoneme_error_rate"])
+        if "logits" in f:
+            out["logits"] = np.asarray(f["logits"])
+        if "phon_keys" in f and "phon_vals" in f:
+            keys = np.asarray(f["phon_keys"]).tolist()
+            vals = [
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in np.asarray(f["phon_vals"]).tolist()
+            ]
+            out["phon_dict"] = dict(zip(keys, vals))
+        if "model_hparams" in f:
+            out["model_hparams"] = dict(f["model_hparams"].attrs)
+    return out
+
+
+def save_ctc_results_h5(path: str | Path, pers, logits=None,
+                        phon_dict: dict | None = None,
+                        model_hparams: dict | None = None) -> Path:
+    """Write CTC results in the reference's h5 layout (the inverse of
+    :func:`load_ctc_results_h5`) so notebooks written against
+    ``train_ctc_rnn``'s output keep working on this framework's runs."""
+    import h5py
+
+    path = Path(path).expanduser()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(str(path), "w") as f:
+        f.create_dataset("phoneme_error_rate", data=np.asarray(pers))
+        if logits is not None:
+            f.create_dataset("logits", data=np.asarray(logits))
+        if phon_dict:
+            f.create_dataset(
+                "phon_keys", data=np.asarray(list(phon_dict.keys()), int)
+            )
+            f.create_dataset(
+                "phon_vals",
+                data=np.asarray(list(phon_dict.values()), dtype="S"),
+            )
+        grp = f.create_group("model_hparams")
+        for k, v in (model_hparams or {}).items():
+            grp.attrs[k] = v
+    return path
+
+
 def save_tuned_hparams(hparam_dir: str | Path, target_pt: str, context: str,
                        hparams: dict) -> Path:
     """Write a tuned-hparams h5 in the layout ``load_tuned_hparams`` (and

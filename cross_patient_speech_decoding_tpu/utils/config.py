@@ -278,6 +278,10 @@ class TrainCTCConfig:
     # match the checkpoint's input width
     init_ckpt: str = ""
     out: str = "results/ctc.pkl"  # incremental per-iteration results (resume)
+    # additionally write the reference's results-h5 layout
+    # (train_ctc_rnn.py:448-491: phoneme_error_rate/logits/phon table/
+    # model_hparams attrs) at this path when set
+    results_h5: str = ""
 
 
 @dataclass

@@ -23,6 +23,14 @@ PHON_TO_ARTIC = np.array([0, 1, 1, 2, 2, 3, 3, 3, 4, 4], dtype=np.int32)
 # (`figure_analyses/fig_2.ipynb` `artic_labels` cell).
 ARTIC_LABELS = np.array(["low", "high", "labial", "dorsal"])
 
+# CTC token table (token id -> phoneme string): the 9-phoneme vocabulary
+# plus blank (0) and sil (10) — a file-format/vocabulary contract shared
+# with the reference's results h5 (`scripts/train_ctc_rnn.py:35-47`).
+PHON_DICT = {
+    0: "blank", 1: "a", 2: "ae", 3: "i", 4: "u", 5: "b", 6: "p",
+    7: "v", 8: "g", 9: "k", 10: "sil",
+}
+
 
 def phon_to_artic(phon: np.ndarray) -> np.ndarray:
     """Collapse phoneme labels (values 1-9) to articulator labels (1-4)."""

@@ -732,3 +732,43 @@ def test_tune_to_train_hparam_handoff(tmp_path):
     assert cfg.weight_decay == pytest.approx(best["weight_decay"])
     assert cfg.hidden == best["hidden"]
     assert cfg.n_layers == best["n_layers"]
+
+
+def test_ctc_results_h5_round_trip_and_analyze(tmp_path):
+    """train-ctc results_h5= writes the reference's results layout
+    (train_ctc_rnn.py:448-491); load_ctc_results_h5 reads it back and
+    run_analyze consumes .h5 inputs directly — migrating users compare
+    their existing reference result files against new runs."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        run_analyze,
+        run_train_ctc,
+    )
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_ctc_results_h5,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import AnalyzeConfig
+
+    h5 = tmp_path / "r" / "pt_ctcRNN_ptSpecific.h5"
+    pers = run_train_ctc(
+        TrainCTCConfig(context="patient", n_iter=3, epochs=2,
+                       out=str(tmp_path / "ctc.pkl"), save_logits=True,
+                       results_h5=str(h5), log_metrics=False),
+        verbose=False,
+    )
+    store = load_ctc_results_h5(h5)
+    np.testing.assert_allclose(store["phoneme_error_rate"], pers)
+    assert store["phon_dict"][10] == "sil" and store["phon_dict"][0] == "blank"
+    assert store["logits"].shape[0] == 3  # per-iteration test log-probs
+    assert store["model_hparams"]["hidden_size"] == 128
+
+    # analyze: reference h5 vs our pkl in one comparison
+    res = run_analyze(
+        AnalyzeConfig(
+            inputs=f"ref={h5},ours={tmp_path / 'ctc.pkl'}",
+            test="permutation",
+        ),
+        verbose=False,
+    )
+    assert len(res["pairwise"]) == 1
+    # identical distributions -> no significant difference
+    assert res["pairwise"][0].pvalue > 0.5
