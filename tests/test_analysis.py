@@ -17,6 +17,15 @@ from cross_patient_speech_decoding_tpu import analysis as an
 rng = np.random.default_rng(42)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_rng():
+    # reset the module rng before EVERY test so each test's draws are
+    # independent of execution order (a -k reproduction sees the same
+    # data as the full-module run)
+    global rng
+    rng = np.random.default_rng(42)
+
+
 # ---------------------------------------------------------------------------
 # hypothesis tests vs scipy
 # ---------------------------------------------------------------------------
@@ -302,12 +311,12 @@ class TestContextTables:
             ("patient", "aligned"),
             ("unaligned", "aligned"),
         ]
-        rows = context_rows = an.context_comparison_table(groups, pairs)
+        rows = an.context_comparison_table(groups, pairs)
         pvals = [
             ss.wilcoxon(groups[a], groups[b]).pvalue for a, b in pairs
         ]
         p_fdr = ss.false_discovery_control(pvals)
-        for row, p, pf in zip(context_rows, pvals, p_fdr):
+        for row, p, pf in zip(rows, pvals, p_fdr):
             assert row.pvalue == pytest.approx(p)
             assert row.pvalue_fdr == pytest.approx(pf)
         assert rows[0].significant  # chance >> patient-specific

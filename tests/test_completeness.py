@@ -123,8 +123,15 @@ def test_simple_folds_structure():
     X, y = np.asarray(ds.X[0]), np.asarray(ds.class_ids[0])
     folds = simple_folds(X, y, n_folds=5, val_frac=0.1, seed=0)
     assert len(folds) == 5
-    n_total = sum(len(f.test[1]) for f in folds)
-    assert n_total == len(y)  # test folds partition the data
+    # test folds PARTITION the trials: every row appears in exactly one
+    # test fold (size-sum alone would not catch duplicate/omitted rows)
+    all_test = np.concatenate([f.test[0].reshape(len(f.test[1]), -1)
+                               for f in folds])
+    assert all_test.shape[0] == len(y)
+    flat = X.reshape(len(y), -1)
+    order_a = np.lexsort(all_test.T)
+    order_b = np.lexsort(flat.T)
+    np.testing.assert_array_equal(all_test[order_a], flat[order_b])
     f0 = folds[0]
     assert len(f0.train[1]) + len(f0.val[1]) + len(f0.test[1]) == len(y)
 

@@ -203,9 +203,12 @@ def test_grid_subsample():
     assert len(grids) > 0
     for g in grids:
         chans = sig[g]
-        # every returned channel is inside some 4x4 window: validated by
-        # membership in the full map
-        assert np.isin(chans, cmap[~np.isnan(cmap)]).all()
+        # every grid's channels fit inside ONE 4x4 window of the map
+        pos = np.array([
+            np.argwhere(cmap == c)[0] for c in chans
+        ])
+        assert pos[:, 0].max() - pos[:, 0].min() < 4
+        assert pos[:, 1].max() - pos[:, 1].min() < 4
     # a sub-grid containing channel 17 must exist (row 1, col 1)
     assert any(17 in sig[g] for g in grids)
 
@@ -263,7 +266,7 @@ def test_augmentations_shapes_and_semantics():
 
     # time_masking actually zeros something somewhere
     masked = np.asarray(time_masking(key, x, max_width=10))
-    assert (masked == 0).sum() >= 0
+    assert (masked == 0).sum() > 0
 
     # mixup: pairs are within-class, labels preserved
     xa, ya = mixup(key, x, ids, 3, 20, alpha=0.5)

@@ -24,6 +24,13 @@ def test_beam_python_fallback(monkeypatch):
     Python implementations and produce identical results."""
     import cross_patient_speech_decoding_tpu.realtime.beam as beam
 
+    if not beam.native_available():
+        import pytest
+
+        pytest.skip(
+            "native beam library unavailable: both sides would take the "
+            "Python fallback and the parity check would be vacuous"
+        )
     rng = np.random.default_rng(0)
     logits = rng.normal(size=(10, 5)) * 2
     lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(

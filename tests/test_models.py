@@ -195,6 +195,10 @@ def test_stacked_rnn_fused_bidir_wiring(monkeypatch):
     monkeypatch.setattr(pallas_gru, "enabled", lambda: True)
     monkeypatch.setattr(pallas_gru, "MIN_BT", 1)
     monkeypatch.setattr(pallas_gru, "MIN_SEQ_T", 1)
+    # the branch under test is additionally gated on BIDIR_FUSED
+    # (defaulted off after the round-3 measurement); without this the
+    # test would compare the per-direction path against itself
+    monkeypatch.setattr(pallas_gru, "BIDIR_FUSED", True)
     # identical param tree: init under the fused path must match
     v2 = mod.init(jax.random.key(0), x)
     assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(

@@ -77,10 +77,7 @@ def test_shard_batch_places_on_mesh(pts):
 
 def test_sharded_sweep_bucket_matches_single_device():
     """Trial-axis sharding over the mesh == unsharded results."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from test_sweep import _ctc_data
+    from test_sweep import _ctc_data  # pytest puts tests/ on sys.path
 
     from cross_patient_speech_decoding_tpu.sweep.ctc import (
         make_ctc_bucket_trainer,
