@@ -1649,6 +1649,120 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
     return results
 
 
+# ------------------------------------------------------------ make xforms ----
+
+def _offline_pca_components(X: np.ndarray, var: float) -> np.ndarray:
+    """(k, C) PCA components of a (trials, T, C) tensor: demeaned over
+    flattened rows (float64, mirroring ``apply_latent_xform``'s
+    application-side demean), k = smallest count reaching ``var``
+    cumulative variance."""
+    Xr = X.reshape(-1, X.shape[-1]).astype(np.float64)
+    Xr = Xr - Xr.mean(axis=0, keepdims=True)
+    _, s, Vt = np.linalg.svd(Xr, full_matrices=False)
+    ev = s**2
+    frac = np.cumsum(ev) / max(ev.sum(), np.finfo(np.float64).tiny)
+    k = int(np.searchsorted(frac, var) + 1) if 0 < var < 1 else len(s)
+    return np.ascontiguousarray(Vt[: max(k, 1)])
+
+
+def run_make_xforms(cfg, verbose: bool = True):
+    """Generate the offline PCA/CCA transform h5s that ``tune-ctc`` /
+    ``train-ctc`` consume via ``pca_path=``/``cca_path=``.
+
+    File layout contract: ``{pt}/components`` (n_components, n_channels)
+    and ``{src}_to_{tgt}/components`` (k_src, k_tgt)
+    (`tune_ctc_rnn.py:1050-1079`). The reference repo only ever READS
+    these files — its generator lived outside the repo; this produces
+    them from a CTC dataset's TRAIN blocks (per-patient PCA at the
+    configured variance fraction, then class-averaged CCA from each
+    source's latent space into the target's).
+    """
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_ctc_h5,
+        save_xforms_h5,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import fit_cca_aligner
+
+    tw_sel, tw_orig = _tuple_arg(cfg.tw_select), _tuple_arg(cfg.tw_orig)
+    if cfg.data == "synthetic":
+        pts_data = _synthetic_ctc(seed=cfg.seed)
+        names = [cfg.target_pt] + [
+            p.strip() for p in cfg.train_pts.split(",")
+            if p.strip() and p.strip() != cfg.target_pt
+        ]
+        names += [f"SYN{i}" for i in range(len(names), len(pts_data))]
+        names = names[: len(pts_data)]
+        Xs = [np.asarray(d[0], np.float32) for d in pts_data[: len(names)]]
+        ys = [np.asarray(d[1]) for d in pts_data[: len(names)]]
+    else:
+        names = [cfg.target_pt]
+        for pt in cfg.train_pts.split(","):
+            pt = pt.strip()
+            if pt and pt != cfg.target_pt:
+                names.append(pt)
+        if len(names) < 2:
+            raise ValueError(
+                "make-xforms needs train_pts: at least one source patient "
+                "besides the target"
+            )
+        only_train_set = set(filter(None, cfg.only_train_pts.split(",")))
+        Xs, ys = [], []
+        for pt in names:
+            X_p, y_p, _, _ = load_ctc_h5(
+                cfg.data, pt, tw_sel, tw_orig, zscore=cfg.zscore,
+                only_train=True if pt in only_train_set else False,
+            )
+            Xs.append(np.asarray(X_p, np.float32))
+            ys.append(np.asarray(y_p))
+
+    # per-patient PCA components + latents
+    comps, lats = {}, []
+    for name, X in zip(names, Xs):
+        W = _offline_pca_components(X, cfg.n_components)
+        comps[name] = W
+        Xr = X.reshape(-1, X.shape[-1]).astype(np.float64)
+        Xr = Xr - Xr.mean(axis=0, keepdims=True)
+        lats.append(
+            np.asarray((Xr @ W.T).reshape(X.shape[0], X.shape[1], -1),
+                       np.float32)
+        )
+    Path(cfg.pca_out).parent.mkdir(parents=True, exist_ok=True)
+    save_xforms_h5(cfg.pca_out, pca=comps)
+    if verbose:
+        widths = {n: comps[n].shape[0] for n in names}
+        print(f"PCA components -> {cfg.pca_out} (widths {widths})",
+              flush=True)
+
+    # per-source CCA into the target latent space
+    ids = [encode_label_sequences(y) for y in ys]
+    cca = {}
+    tgt = names[0]
+    k_t = lats[0].shape[-1]
+    for name, lat, enc in zip(names[1:], lats[1:], ids[1:]):
+        uni = np.unique(np.concatenate([ids[0], enc]))
+        id_t = jnp.asarray(to_class_ids(ids[0], uni)[0])
+        id_s = jnp.asarray(to_class_ids(enc, uni)[0])
+        k_s = lat.shape[-1]
+        K = max(k_t, k_s)
+        pad_t = np.pad(lats[0], ((0, 0), (0, 0), (0, K - k_t)))
+        pad_s = np.pad(lat, ((0, 0), (0, 0), (0, K - k_s)))
+        al = fit_cca_aligner(
+            jnp.asarray(pad_t), jnp.asarray(pad_s), id_t, id_s, len(uni),
+            method="gram",  # padded zero columns: rank-masked Gram path
+        )
+        proj = np.asarray(al.alignment.proj_b_to_a)[:k_s, :k_t]
+        cca[(name, tgt)] = np.ascontiguousarray(proj, np.float64)
+    Path(cfg.cca_out).parent.mkdir(parents=True, exist_ok=True)
+    save_xforms_h5(cfg.cca_out, cca=cca)
+    if verbose:
+        print(
+            f"CCA transforms -> {cfg.cca_out} "
+            f"({', '.join(f'{s}->{t}' for s, t in cca)})",
+            flush=True,
+        )
+    return {"pca": comps, "cca": cca}
+
+
 # ------------------------------------------------------------- realtime sim ----
 
 def run_realtime_sim(cfg: RealtimeSimConfig, verbose: bool = True):

@@ -22,6 +22,7 @@ from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
 )
 from cross_patient_speech_decoding_tpu.utils.config import (
     AnalyzeConfig,
+    MakeXformsConfig,
     RealtimeSimConfig,
     SVMDecodeConfig,
     TrainCTCConfig,
@@ -43,6 +44,9 @@ _COMMANDS = {
     "tune-ctc": (TuneCTCConfig, "run_tune_ctc"),
     "realtime-sim": (RealtimeSimConfig, "run_realtime_sim"),
     "analyze": (AnalyzeConfig, "run_analyze"),
+    # generate the offline PCA/CCA transform h5s consumed by
+    # tune-ctc/train-ctc pca_path=/cca_path=
+    "make-xforms": (MakeXformsConfig, "run_make_xforms"),
     "subsample-trials": (SubsampleConfig, "run_trial_subsample"),
     "subsample-grid": (SubsampleConfig, "run_grid_subsample"),
     "subsample-spatial": (SubsampleConfig, "run_spatial_avg"),

@@ -315,6 +315,28 @@ class TuneCTCConfig:
 
 
 @dataclass
+class MakeXformsConfig:
+    """Generate the offline PCA/CCA transform h5s that ``tune-ctc`` /
+    ``train-ctc`` consume via ``pca_path=``/``cca_path=``
+    (`tune_ctc_rnn.py:1050-1079` contract: ``{pt}/components`` and
+    ``{src}_to_{tgt}/components``). The reference repo only ever READS
+    these files (its generator lived outside the repo); this command
+    produces them from a CTC dataset."""
+
+    data: str = "synthetic"  # 'synthetic' or the reference CTC h5 path
+    target_pt: str = "S14"
+    train_pts: str = ""  # comma list of source patients ('' = all others)
+    only_train_pts: str = "S33"
+    zscore: bool = False
+    tw_orig: str = "0,4"
+    tw_select: str = "0.5,3.5"
+    n_components: float = 0.9  # variance fraction per patient
+    seed: int = 0
+    pca_out: str = "results/pca_xforms.h5"
+    cca_out: str = "results/cca_xforms.h5"
+
+
+@dataclass
 class AnalyzeConfig:
     """Statistical comparison of saved experiment results (the fig_4 /
     fig_5 notebook flows applied to driver output pickles)."""

@@ -271,3 +271,47 @@ def test_tune_ctc_from_h5(ctc_h5, tmp_path):
     )
     results = run_tune_ctc(cfg, verbose=False)
     assert results and np.isfinite(results[0]["metric"])
+
+
+def test_make_xforms_generates_consumable_transforms(ctc_h5, tmp_path):
+    """cpsd make-xforms produces the {pt}/components + {src}_to_{tgt}/
+    components h5s (tune_ctc_rnn.py:1050-1079 contract) that train-ctc's
+    pca_path/cca_path ingestion consumes end-to-end."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        run_make_xforms,
+        run_train_ctc,
+    )
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_cca_xform,
+        load_pca_xform,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import (
+        MakeXformsConfig,
+    )
+
+    xf = tmp_path / "xf.h5"
+    out = run_make_xforms(
+        MakeXformsConfig(
+            data=ctc_h5, target_pt="S14", train_pts="S22,S33",
+            pca_out=str(xf), cca_out=str(xf), n_components=0.9,
+        ),
+        verbose=False,
+    )
+    # layout + shapes: components (k, C); cca (k_src, k_tgt)
+    W_t = load_pca_xform(xf, "S14")  # transposed on load: (C, k)
+    assert W_t.shape[0] == 12  # S14 channel count in the fixture
+    k_t = W_t.shape[1]
+    for src in ("S22", "S33"):
+        M = load_cca_xform(xf, "S14", src)
+        assert M.shape == (out["pca"][src].shape[0], k_t)
+        assert np.isfinite(M).all()
+
+    # the generated transforms drive the precomputed-transform training
+    # path end-to-end
+    pers = run_train_ctc(
+        _ctc_cfg(ctc_h5, tmp_path, train_pts="S14,S22,S33",
+                 pca_path=str(xf), cca_path=str(xf),
+                 out=str(tmp_path / "mx_out.pkl")),
+        verbose=False,
+    )
+    assert pers.shape == (1,) and np.isfinite(pers).all()
