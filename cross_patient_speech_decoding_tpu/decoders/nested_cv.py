@@ -126,9 +126,17 @@ def make_nested_cv_decoder(
     return jax.jit(run), candidates
 
 
-def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
+def make_candidate_scorer(strategy: str, cfg: DecodeConfig,
+                          fit_batch: int = 100):
     """Jitted scorer: mean inner-CV accuracy of a (n_outer, B) candidate
-    table — one XLA launch per proposal round of the Bayesian search."""
+    table — one XLA launch per proposal round of the Bayesian search.
+
+    ``fit_batch`` bounds how many pipeline fits run as ONE vmap: outer
+    folds are chunked so each device step evaluates ~fit_batch fits (the
+    width the fixed-param fold program runs at reference scale). A plain
+    per-outer-fold map would leave the chip ~4x under-batched (25-wide
+    vmaps, sequential over 20 folds).
+    """
     fold_fn = _STRATEGIES[strategy]
 
     def eval_candidate(tar, cross, tr, te, hp):
@@ -137,6 +145,10 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
 
     def score(tar, cross, inner_tr, inner_te, hp_table):
         # hp_table: dict of (n_outer, B); inner_tr/te: (n_outer, n_inner, N)
+        n_inner = inner_tr.shape[1]
+        n_points = next(iter(hp_table.values())).shape[1]
+        bs = max(1, fit_batch // max(1, n_points * n_inner))
+
         def one_outer(args):
             itr, ite, hp_row = args
 
@@ -148,7 +160,9 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
 
             return jax.vmap(cand_score)(hp_row)
 
-        return jax.lax.map(one_outer, (inner_tr, inner_te, hp_table))
+        return jax.lax.map(
+            one_outer, (inner_tr, inner_te, hp_table), batch_size=bs
+        )
 
     def final_eval(tar, cross, train_masks, test_masks, hp_best):
         # hp_best: dict of (n_outer,) — refit each outer fold at its best;
@@ -157,9 +171,26 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig):
             tr, te, hp = args
             return fold_fn(tar, cross, tr, te, cfg, hp=hp)
 
-        return jax.lax.map(one, (train_masks, test_masks, hp_best))
+        bs = min(train_masks.shape[0], max(1, fit_batch))
+        return jax.lax.map(
+            one, (train_masks, test_masks, hp_best), batch_size=bs
+        )
 
     return jax.jit(score), jax.jit(final_eval)
+
+
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(strategy: str, cfg: DecodeConfig, fit_batch: int):
+    """One jitted (score, final_eval) pair per configuration: the driver
+    calls nested_cv_decode_bayes once per iteration (50x per experiment)
+    and a fresh jax.jit wrapper each time would retrace the large nested
+    programs every iteration."""
+    key = (strategy, tuple(sorted(vars(cfg).items())), fit_batch)
+    if key not in _SCORER_CACHE:
+        _SCORER_CACHE[key] = make_candidate_scorer(strategy, cfg, fit_batch)
+    return _SCORER_CACHE[key]
 
 
 def nested_cv_decode_bayes(
@@ -174,6 +205,7 @@ def nested_cv_decode_bayes(
     seed: int = 0,
     train_frac: float = 1.0,
     return_preds: bool = False,
+    fit_batch: int = 100,
 ):
     """Nested CV with sequential TPE acquisition — the direct analog of the
     reference's ``BayesSearchCV(n_iter=25, n_points=5)``
@@ -216,7 +248,7 @@ def nested_cv_decode_bayes(
     for k in range(n_folds):
         itr[k], ite[k] = inner_cv_masks(tr[k], y, n_inner, rng)
 
-    score, final_eval = make_candidate_scorer(strategy, cfg)
+    score, final_eval = _cached_scorer(strategy, cfg, fit_batch)
     cross = tuple(cross)
     itr_j, ite_j = jnp.asarray(itr), jnp.asarray(ite)
 
