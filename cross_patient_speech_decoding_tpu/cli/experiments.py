@@ -354,9 +354,13 @@ def _seq2seq_arrays(cfg: TrainSeq2SeqConfig):
     and pooled patients carry (X, y_full, y_full).
     """
     if cfg.data == "synthetic":
+        # first three match the historical defaults (keeps test/bench
+        # compile-cache shapes stable); the tail covers reference scale
+        chans = (64, 72, 56, 96, 111, 128, 80, 104)[: cfg.synth_patients]
         ds = make_synthetic_patients_device(
-            seed=cfg.seed, n_patients=3, n_classes=9, trials_per_class=12,
-            T=60, channels=(64, 72, 56), latent_dim=10, noise=0.5)
+            seed=cfg.seed, n_patients=cfg.synth_patients, n_classes=9,
+            trials_per_class=cfg.synth_trials, T=cfg.synth_T,
+            channels=chans, latent_dim=10, noise=0.5)
         return list(ds.X), [np.asarray(y) for y in ds.y_seq]
 
     pt_data = load_pkl(cfg.data)
@@ -1124,11 +1128,15 @@ def _same_run_config(stored: dict, current: dict) -> bool:
     """True when a persisted results file belongs to THIS run config.
 
     ``n_iter``/``out`` are allowed to differ (resuming with a larger
-    iteration budget is the use case); anything else — e.g. a different
-    ``context`` writing to the same default path — must NOT resume, or a
-    contexts comparison would silently return the first context's numbers.
+    iteration budget is the use case), as are the pure-output /
+    observability fields (``results_h5``/``log_metrics``/``trace``) that
+    cannot affect computed results — adding ``results_h5=`` to export an
+    already-finished run must resume, not retrain. Anything else — e.g. a
+    different ``context`` writing to the same default path — must NOT
+    resume, or a contexts comparison would silently return the first
+    context's numbers.
     """
-    skip = {"n_iter", "out"}
+    skip = {"n_iter", "out", "results_h5", "log_metrics", "trace"}
     keys = (set(stored) | set(current)) - skip
     return all(stored.get(k) == current.get(k) for k in keys)
 
@@ -1265,6 +1273,17 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
         cfg.hidden, cfg.n_layers = ck_model.hidden, ck_model.n_layers
         cfg.win_size, cfg.stride = ck_model.win_size, ck_model.stride
         init_vars = jax.tree.map(jnp.asarray, init_vars)
+    if cfg.results_h5 and not (cfg.save_logits and cfg.out):
+        # the reference's save_results writes `logits` unconditionally
+        # (train_ctc_rnn.py:448-491); warn UP FRONT so the user can
+        # restart with save_logits=true instead of discovering a
+        # logits-less h5 after hours of training
+        print(
+            "WARNING: results_h5 is set but logits will be OMITTED from "
+            "the h5 (needs save_logits=true and a results pkl via out=); "
+            "reference notebooks reading f['logits'] will fail on it",
+            flush=True,
+        )
     done = _completed_results(cfg.out, vars(cfg)) if cfg.out else []
     pers = list(done[: cfg.n_iter])
     if pers and verbose:
@@ -1437,8 +1456,13 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
 
         logits = None
         if cfg.save_logits and cfg.out and Path(cfg.out).exists():
-            ex = load_pkl(cfg.out).get("extra", [])
-            if ex and all(e and "logits" in e for e in ex):
+            # extras append in lockstep with accs, so the first len(pers)
+            # entries are exactly the iterations reported in `pers` (the
+            # pkl may hold MORE when resuming with a smaller n_iter)
+            ex = load_pkl(cfg.out).get("extra", [])[: len(pers)]
+            if len(ex) == len(pers) and all(
+                e and "logits" in e for e in ex
+            ):
                 logits = np.stack([e["logits"] for e in ex])
         save_ctc_results_h5(
             cfg.results_h5, np.asarray(pers), logits, PHON_DICT,
@@ -1651,18 +1675,38 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
 
 # ------------------------------------------------------------ make xforms ----
 
-def _offline_pca_components(X: np.ndarray, var: float) -> np.ndarray:
-    """(k, C) PCA components of a (trials, T, C) tensor: demeaned over
-    flattened rows (float64, mirroring ``apply_latent_xform``'s
-    application-side demean), k = smallest count reaching ``var``
-    cumulative variance."""
+def _offline_pca_components(X: np.ndarray, n_components: float):
+    """PCA of a (trials, T, C) tensor: demeaned over flattened rows
+    (float64, mirroring ``apply_latent_xform``'s application-side demean).
+
+    ``n_components`` follows the framework-wide spec (ops/pca
+    ``_resolve_n_active``): a fraction in (0, 1) keeps the smallest count
+    reaching that cumulative variance; a whole value > 1 is a fixed count
+    (``n_components=30`` parses to 30.0 on the float config field); 1.0
+    is rejected rather than silently meaning one component.
+
+    Returns ``(components (k, C), latents (trials, T, k) float32)`` so
+    callers never re-project what the fit already computed.
+    """
     Xr = X.reshape(-1, X.shape[-1]).astype(np.float64)
     Xr = Xr - Xr.mean(axis=0, keepdims=True)
     _, s, Vt = np.linalg.svd(Xr, full_matrices=False)
-    ev = s**2
-    frac = np.cumsum(ev) / max(ev.sum(), np.finfo(np.float64).tiny)
-    k = int(np.searchsorted(frac, var) + 1) if 0 < var < 1 else len(s)
-    return np.ascontiguousarray(Vt[: max(k, 1)])
+    if 0 < n_components < 1:
+        ev = s**2
+        frac = np.cumsum(ev) / max(ev.sum(), np.finfo(np.float64).tiny)
+        k = int(np.searchsorted(frac, n_components) + 1)
+    elif n_components > 1 and float(n_components).is_integer():
+        k = min(int(n_components), len(s))
+    else:
+        raise ValueError(
+            "n_components must be a variance fraction in (0, 1) or a "
+            f"whole component count > 1, got {n_components!r}"
+        )
+    k = max(k, 1)
+    W = np.ascontiguousarray(Vt[:k])
+    lat = np.asarray((Xr @ W.T).reshape(X.shape[0], X.shape[1], -1),
+                     np.float32)
+    return W, lat
 
 
 def run_make_xforms(cfg, verbose: bool = True):
@@ -1718,14 +1762,9 @@ def run_make_xforms(cfg, verbose: bool = True):
     # per-patient PCA components + latents
     comps, lats = {}, []
     for name, X in zip(names, Xs):
-        W = _offline_pca_components(X, cfg.n_components)
+        W, lat = _offline_pca_components(X, cfg.n_components)
         comps[name] = W
-        Xr = X.reshape(-1, X.shape[-1]).astype(np.float64)
-        Xr = Xr - Xr.mean(axis=0, keepdims=True)
-        lats.append(
-            np.asarray((Xr @ W.T).reshape(X.shape[0], X.shape[1], -1),
-                       np.float32)
-        )
+        lats.append(lat)
     Path(cfg.pca_out).parent.mkdir(parents=True, exist_ok=True)
     save_xforms_h5(cfg.pca_out, pca=comps)
     if verbose:
@@ -1737,20 +1776,18 @@ def run_make_xforms(cfg, verbose: bool = True):
     ids = [encode_label_sequences(y) for y in ys]
     cca = {}
     tgt = names[0]
-    k_t = lats[0].shape[-1]
     for name, lat, enc in zip(names[1:], lats[1:], ids[1:]):
         uni = np.unique(np.concatenate([ids[0], enc]))
         id_t = jnp.asarray(to_class_ids(ids[0], uni)[0])
         id_s = jnp.asarray(to_class_ids(enc, uni)[0])
-        k_s = lat.shape[-1]
-        K = max(k_t, k_s)
-        pad_t = np.pad(lats[0], ((0, 0), (0, 0), (0, K - k_t)))
-        pad_s = np.pad(lat, ((0, 0), (0, 0), (0, K - k_s)))
+        # the CCA core handles unequal latent widths natively
+        # (proj_b_to_a is (k_src, k_tgt)); gram path in case a variance
+        # cutoff >= 1.0x rank kept zero-variance latent columns
         al = fit_cca_aligner(
-            jnp.asarray(pad_t), jnp.asarray(pad_s), id_t, id_s, len(uni),
-            method="gram",  # padded zero columns: rank-masked Gram path
+            jnp.asarray(lats[0]), jnp.asarray(lat), id_t, id_s, len(uni),
+            method="gram",
         )
-        proj = np.asarray(al.alignment.proj_b_to_a)[:k_s, :k_t]
+        proj = np.asarray(al.alignment.proj_b_to_a)
         cca[(name, tgt)] = np.ascontiguousarray(proj, np.float64)
     Path(cfg.cca_out).parent.mkdir(parents=True, exist_ok=True)
     save_xforms_h5(cfg.cca_out, cca=cca)

@@ -165,6 +165,11 @@ class TrainSeq2SeqConfig:
     augmentations: str = ""
     log_metrics: bool = True  # per-epoch (or per-iteration) CSV logs
     trace: bool = False  # device profile of the first iteration
+    # synthetic-data scale (data='synthetic' only): reference scale is
+    # 8 patients, ~150 trials (trials = 27 classes x synth_trials), T=200
+    synth_patients: int = 3
+    synth_T: int = 60
+    synth_trials: int = 12
     seed: int = 0
     out: str = "results/seq2seq.csv"
 

@@ -772,3 +772,88 @@ def test_ctc_results_h5_round_trip_and_analyze(tmp_path):
     assert len(res["pairwise"]) == 1
     # identical distributions -> no significant difference
     assert res["pairwise"][0].pvalue > 0.5
+
+
+def test_output_fields_resume_instead_of_retraining(tmp_path):
+    """Pure-output fields (results_h5/log_metrics/trace) are NOT run
+    identity: adding results_h5= to export a finished run must resume it,
+    not set the pkl aside and retrain from iteration 0 — and the exported
+    logits stay in lockstep with the reported iterations even when the
+    pkl holds more entries than n_iter."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _same_run_config,
+        run_train_ctc,
+    )
+    from cross_patient_speech_decoding_tpu.data.loaders import (
+        load_ctc_results_h5,
+        load_pkl,
+    )
+
+    pkl = tmp_path / "ctc.pkl"
+    base = dict(context="patient", n_iter=3, epochs=2, out=str(pkl),
+                save_logits=True, log_metrics=False)
+    pers = run_train_ctc(TrainCTCConfig(**base), verbose=False)
+
+    # same run, results_h5 added, SMALLER n_iter: resumes (no .stale
+    # set-aside, no new pkl entries) and exports exactly n_iter logits
+    h5 = tmp_path / "export.h5"
+    pers2 = run_train_ctc(
+        TrainCTCConfig(**{**base, "n_iter": 2, "results_h5": str(h5)}),
+        verbose=False,
+    )
+    assert not (tmp_path / "ctc.pkl.stale").exists()
+    np.testing.assert_allclose(pers2, pers[:2])
+    assert len(load_pkl(pkl)["accs"]) == 3  # nothing retrained/appended
+    store = load_ctc_results_h5(h5)
+    assert store["phoneme_error_rate"].shape == (2,)
+    assert store["logits"].shape[0] == 2  # sliced to the reported iters
+
+    # the skip set, directly
+    a = vars(TrainCTCConfig(**base))
+    b = vars(TrainCTCConfig(**{**base, "n_iter": 1, "results_h5": "x.h5",
+                               "log_metrics": True, "trace": True}))
+    assert _same_run_config(a, b)
+    assert not _same_run_config(a, vars(TrainCTCConfig(
+        **{**base, "context": "chance"})))
+
+
+def test_offline_pca_components_spec():
+    """make-xforms honors the framework-wide n_components spec: fraction
+    in (0,1), whole count > 1 (n_components=30 arrives as 30.0 on the
+    float config field), and 1.0 rejected — not silently full-rank."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _offline_pca_components,
+    )
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(20, 15, 9)).astype(np.float32)
+
+    W, lat = _offline_pca_components(X, 4.0)
+    assert W.shape == (4, 9) and lat.shape == (20, 15, 4)
+    # count capped at rank/width rather than erroring
+    W_all, _ = _offline_pca_components(X, 99.0)
+    assert W_all.shape == (9, 9)
+    W_frac, lat_frac = _offline_pca_components(X, 0.5)
+    assert 1 <= W_frac.shape[0] < 9 and lat_frac.shape[-1] == W_frac.shape[0]
+    with pytest.raises(ValueError):
+        _offline_pca_components(X, 1.0)
+    with pytest.raises(ValueError):
+        _offline_pca_components(X, 2.5)
+
+
+def test_seq2seq_synth_scale_knobs():
+    """train-seq2seq synth_patients/synth_T/synth_trials size the
+    synthetic dataset (reference scale: 8 patients, T=200) while the
+    3-patient defaults keep their historical shapes."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _seq2seq_arrays,
+    )
+
+    Xs, ys = _seq2seq_arrays(TrainSeq2SeqConfig())
+    assert len(Xs) == 3 and Xs[0].shape == (108, 60, 64)
+
+    Xs, ys = _seq2seq_arrays(TrainSeq2SeqConfig(
+        synth_patients=5, synth_T=30, synth_trials=2))
+    assert len(Xs) == 5
+    assert Xs[0].shape == (18, 30, 64) and Xs[4].shape[-1] == 111
+    assert all(len(y) == 18 for y in ys)
