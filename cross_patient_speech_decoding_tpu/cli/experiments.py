@@ -495,12 +495,20 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
     )
     start_it = len(done_iters)
     if cfg.fold_parallel:
-        # all folds of an iteration train as ONE vmapped program
+        # all folds of an iteration train as ONE vmapped program — or, at
+        # scales where 20 simultaneous folds exceed HBM (reference scale:
+        # ~1.2k pooled trials x T=200), equal fold CHUNKS through the SAME
+        # compiled program (fold_chunk=c). The jitted trainer is built
+        # ONCE: its single trace serves all 50 iterations and every chunk.
         from cross_patient_speech_decoding_tpu.train.fold_parallel import (
-            make_seq2seq_fold_trainer,
+            make_seq2seq_fold_trainer_fn,
             pooled_fold_arrays,
         )
 
+        trainer_fn = make_seq2seq_fold_trainer_fn(
+            model, lr=cfg.lr, weight_decay=cfg.weight_decay,
+            decay_iters=cfg.decay_iters, clip=cfg.clip,
+        )
         aug_names = _parse_augmentations(cfg.augmentations)
         for it in range(len(done_iters), cfg.n_iter):
             tr_m, te_m = stratified_kfold_masks(
@@ -542,29 +550,41 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
                 tr_m,
                 test_masks=te_pass,
             )
-            trainer = make_seq2seq_fold_trainer(
-                model, X_pool, y_pool, w, te,
-                lr=cfg.lr, weight_decay=cfg.weight_decay,
-                decay_iters=cfg.decay_iters, clip=cfg.clip,
-                seed=cfg.seed + it,
-            )
+            F = w.shape[0]
+            chunk = cfg.fold_chunk if cfg.fold_chunk > 0 else F
+            per_fold_x = X_pool.ndim == 4
+
+            def _chunk_args(c0):
+                sl = slice(c0, c0 + chunk)
+                Xc = X_pool[sl] if per_fold_x else X_pool
+                return Xc, y_pool, w[sl], te[sl]
+
             if prewarm_only:
                 # AOT-compile the full fold-parallel program (epochs is a
                 # scan length, i.e. BAKED into the program) into the
                 # persistent cache without executing 500 epochs
                 t0 = time.perf_counter()
-                trainer.lower(cfg.epochs).compile()
+                trainer_fn.lower(
+                    *_chunk_args(0), cfg.seed + it, cfg.epochs
+                ).compile()
                 if verbose:
                     print(
                         f"seq2seq fold-parallel program compiled in "
                         f"{time.perf_counter() - t0:.1f}s "
-                        f"({cfg.n_folds} folds x {cfg.epochs} epochs)",
+                        f"({min(chunk, F)} folds x {cfg.epochs} epochs)",
                         flush=True,
                     )
                 return np.asarray([])
             with _maybe_trace(cfg.trace and it == start_it, cfg.out, run_name):
-                accs, _ = trainer(cfg.epochs)
-            accs = np.asarray(accs)
+                parts = []
+                for c0 in range(0, F, chunk):
+                    # distinct seed per chunk so folds in different chunks
+                    # never share init/epoch key streams
+                    a, _ = trainer_fn(
+                        *_chunk_args(c0), cfg.seed + it + 31 * c0, cfg.epochs
+                    )
+                    parts.append(np.asarray(a))
+            accs = np.concatenate(parts)
             results.extend(accs.tolist())
             _record_iter(accs)
             if cfg.log_metrics and cfg.out:

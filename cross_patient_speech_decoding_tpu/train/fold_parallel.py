@@ -10,6 +10,19 @@ fold axis becomes a vmap axis over model parameters and optimizer states.
 One XLA program trains all folds simultaneously; with a mesh, folds shard
 across chips (they are embarrassingly parallel, like the reference's SLURM
 job arrays).
+
+Two-level API:
+
+- :func:`make_seq2seq_fold_trainer_fn` builds ONE jitted
+  ``train(X_pool, y_pool, train_weights, test_masks, seed, epochs)``
+  (``epochs`` static) whose single trace serves every iteration — and
+  every fold CHUNK: at reference scale (20 folds x ~1.2k pooled trials x
+  T=200) all folds at once exceed a single chip's HBM, so the driver
+  slices the fold axis into equal chunks and reuses the same compiled
+  program per chunk.
+- :func:`make_seq2seq_fold_trainer` is the array-closing convenience
+  wrapper (used by tests/dryrun) with a ``.lower(epochs)`` hook for
+  AOT prewarming.
 """
 
 from __future__ import annotations
@@ -20,6 +33,166 @@ import numpy as np
 import optax
 
 from cross_patient_speech_decoding_tpu.ops.metrics import cmat_acc
+
+
+def make_seq2seq_fold_trainer_fn(
+    model,
+    *,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    decay_iters: int = 20,
+    end_factor: float = 0.01,
+    clip: float = 0.5,
+    teacher_forcing: float = 0.5,
+    mesh=None,
+    fold_axis: str = "data",
+):
+    """Build the jitted fold trainer.
+
+    Returns ``train(X_pool, y_pool, train_weights, test_masks, seed,
+    epochs) -> (accs (F,), params)`` with ``epochs`` static and ``seed`` a
+    traced int — one trace serves all iterations/chunks with the same
+    shapes (the 50-iteration reference design would otherwise pay a full
+    retrace per iteration).
+
+    Args:
+        model: a Seq2SeqRNN (or compatible) flax module.
+
+    Call args:
+        X_pool: (N, T, C) pooled features (target + aligned cross rows)
+            shared by every fold, or (F, N, T, C) per-fold features (the
+            leak-free regime where the PCA/CCA alignment is refit on each
+            fold's train rows, the reference's per-fold process_aligner).
+        y_pool: (N, L) pooled sequence labels (fold-invariant).
+        train_weights: (F, N) per-fold sample weights for the loss.
+        test_masks: (F, N) per-fold eval masks (target held-out rows).
+        seed: RNG seed (init keys from ``seed``, epoch keys ``seed + 1``).
+        epochs: scan length (STATIC — baked into the program).
+    """
+    sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+    def train_folds(X_pool, y_pool, train_weights, test_masks, seed, epochs):
+        F = train_weights.shape[0]
+        per_fold_x = X_pool.ndim == 4
+        x_axis = 0 if per_fold_x else None
+        x_example = X_pool[0] if per_fold_x else X_pool
+
+        def init_one(key):
+            variables = model.init(
+                {"params": key, "tf": jax.random.key(0)},
+                x_example[:1], y_pool[:1], teacher_forcing,
+            )
+            return variables["params"], variables.get("batch_stats", {})
+
+        keys = jax.random.split(jax.random.key(seed), F)
+        params, batch_stats = jax.vmap(init_one)(keys)
+        opt_states = jax.vmap(tx.init)(params)
+
+        if mesh is not None and F % mesh.shape[fold_axis] == 0:
+            # every vmapped leaf has the fold axis leading (scalars became
+            # (F,) under vmap), so a fold-axis constraint is always valid
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cst = lambda tree: jax.tree_util.tree_map(
+                lambda l: jax.lax.with_sharding_constraint(
+                    l,
+                    NamedSharding(
+                        mesh, P(fold_axis, *([None] * (max(l.ndim, 1) - 1)))
+                    ),
+                ),
+                tree,
+            )
+            params, batch_stats, opt_states = (
+                cst(params), cst(batch_stats), cst(opt_states)
+            )
+
+        def loss_fn(p, bs, x, w, key):
+            k_tf, k_do = jax.random.split(key)
+            variables = {"params": p}
+            if bs:
+                variables["batch_stats"] = bs
+            logits, updates = model.apply(
+                variables, x, y_pool, teacher_forcing, False,
+                mutable=["batch_stats"] if bs else [],
+                rngs={"tf": k_tf, "dropout": k_do},
+            )
+            flat = logits.reshape(-1, logits.shape[-1])
+            labels = y_pool.reshape(-1)
+            ce = optax.softmax_cross_entropy_with_integer_labels(flat, labels)
+            L = y_pool.shape[1]
+            w_tok = jnp.repeat(w, L)
+            loss = jnp.sum(ce * w_tok) / jnp.maximum(jnp.sum(w_tok), 1.0)
+            new_bs = updates["batch_stats"] if bs else bs
+            return loss, new_bs
+
+        def epoch_one(p, o, bs, x, w, key):
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(p, bs, x, w, key)
+            updates, new_o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), new_o, new_bs, loss
+
+        def eval_one(p, bs, x, te):
+            variables = {"params": p}
+            if bs:
+                variables["batch_stats"] = bs
+            logits = model.apply(variables, x, None, 0.0, True)
+            preds = jnp.argmax(logits, axis=-1).reshape(-1)
+            labels = y_pool.reshape(-1)
+            L = y_pool.shape[1]
+            m = jnp.repeat(te, L)
+            return cmat_acc(labels, preds, model.num_classes, m)
+
+        def epoch_step(carry, key):
+            p, o, bs = carry
+            fold_keys = jax.random.split(key, F)
+            p, o, bs, losses = jax.vmap(
+                epoch_one, in_axes=(0, 0, 0, x_axis, 0, 0)
+            )(p, o, bs, X_pool, train_weights, fold_keys)
+            return (p, o, bs), losses
+
+        ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
+        (p, o, bs), _ = jax.lax.scan(
+            epoch_step, (params, opt_states, batch_stats), ekeys
+        )
+        accs = jax.vmap(eval_one, in_axes=(0, 0, x_axis, 0))(
+            p, bs, X_pool, test_masks
+        )
+        return accs, p
+
+    def train_folds_scan_rnn(X_pool, y_pool, train_weights, test_masks,
+                             seed, epochs):
+        # the fold axis is the batch axis here: keep the XLA scan GRU,
+        # whose small matmuls batch ACROSS folds — serializing one Pallas
+        # kernel instance per fold would forfeit that
+        from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+            disable_pallas_gru,
+        )
+
+        with disable_pallas_gru():
+            return train_folds(
+                X_pool, y_pool, train_weights, test_masks, seed, epochs
+            )
+
+    return jax.jit(train_folds_scan_rnn, static_argnums=5)
+
+
+class _FoldTrainer:
+    """Array-closing wrapper: ``trainer(epochs)`` / ``trainer.lower(epochs)``."""
+
+    def __init__(self, fn, args):
+        self._fn = fn
+        self._args = args
+
+    def __call__(self, epochs: int):
+        return self._fn(*self._args, epochs)
+
+    def lower(self, epochs: int):
+        return self._fn.lower(*self._args, epochs)
 
 
 def make_seq2seq_fold_trainer(
@@ -41,118 +214,23 @@ def make_seq2seq_fold_trainer(
 ):
     """Build train_folds(epochs) -> (accs (F,), params) for F folds.
 
-    Args:
-        model: a Seq2SeqRNN (or compatible) flax module.
-        X_pool: (N, T, C) pooled features (target + aligned cross rows)
-            shared by every fold, or (F, N, T, C) per-fold features (the
-            leak-free regime where the PCA/CCA alignment is refit on each
-            fold's train rows, the reference's per-fold process_aligner).
-        y_pool: (N, L) pooled sequence labels (fold-invariant).
-        train_weights: (F, N) per-fold sample weights for the loss.
-        test_masks: (F, N) per-fold eval masks (target held-out rows).
+    Convenience wrapper over :func:`make_seq2seq_fold_trainer_fn` that
+    closes over the fold arrays (see the fn's docstring for shapes).
     """
-    F = train_weights.shape[0]
-    per_fold_x = X_pool.ndim == 4
-    x_axis = 0 if per_fold_x else None
-    x_example = X_pool[0] if per_fold_x else X_pool
-    sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip),
-        optax.adamw(sched, weight_decay=weight_decay),
+    fn = make_seq2seq_fold_trainer_fn(
+        model,
+        lr=lr,
+        weight_decay=weight_decay,
+        decay_iters=decay_iters,
+        end_factor=end_factor,
+        clip=clip,
+        teacher_forcing=teacher_forcing,
+        mesh=mesh,
+        fold_axis=fold_axis,
     )
-
-    def init_one(key):
-        variables = model.init(
-            {"params": key, "tf": jax.random.key(0)},
-            x_example[:1], y_pool[:1], teacher_forcing,
-        )
-        return variables["params"], variables.get("batch_stats", {})
-
-    keys = jax.random.split(jax.random.key(seed), F)
-    params, batch_stats = jax.vmap(init_one)(keys)
-    opt_states = jax.vmap(tx.init)(params)
-
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        if F % mesh.shape[fold_axis] == 0:
-            sh = lambda leaf: NamedSharding(
-                mesh, P(fold_axis, *([None] * (max(leaf.ndim, 1) - 1)))
-            )
-            put = lambda tree: jax.tree_util.tree_map(
-                lambda l: jax.device_put(l, sh(l)), tree
-            )
-            params, batch_stats, opt_states = (
-                put(params), put(batch_stats), put(opt_states)
-            )
-
-    def loss_fn(p, bs, x, w, key):
-        k_tf, k_do = jax.random.split(key)
-        variables = {"params": p}
-        if bs:
-            variables["batch_stats"] = bs
-        logits, updates = model.apply(
-            variables, x, y_pool, teacher_forcing, False,
-            mutable=["batch_stats"] if bs else [],
-            rngs={"tf": k_tf, "dropout": k_do},
-        )
-        flat = logits.reshape(-1, logits.shape[-1])
-        labels = y_pool.reshape(-1)
-        ce = optax.softmax_cross_entropy_with_integer_labels(flat, labels)
-        L = y_pool.shape[1]
-        w_tok = jnp.repeat(w, L)
-        loss = jnp.sum(ce * w_tok) / jnp.maximum(jnp.sum(w_tok), 1.0)
-        new_bs = updates["batch_stats"] if bs else bs
-        return loss, new_bs
-
-    def epoch_one(p, o, bs, x, w, key):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bs, x, w, key
-        )
-        updates, new_o = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), new_o, new_bs, loss
-
-    def eval_one(p, bs, x, te):
-        variables = {"params": p}
-        if bs:
-            variables["batch_stats"] = bs
-        logits = model.apply(variables, x, None, 0.0, True)
-        preds = jnp.argmax(logits, axis=-1).reshape(-1)
-        labels = y_pool.reshape(-1)
-        L = y_pool.shape[1]
-        m = jnp.repeat(te, L)
-        return cmat_acc(labels, preds, model.num_classes, m)
-
-    def train_folds(epochs: int):
-        def epoch_step(carry, key):
-            p, o, bs = carry
-            fold_keys = jax.random.split(key, F)
-            p, o, bs, losses = jax.vmap(
-                epoch_one, in_axes=(0, 0, 0, x_axis, 0, 0)
-            )(p, o, bs, X_pool, train_weights, fold_keys)
-            return (p, o, bs), losses
-
-        ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
-        (p, o, bs), _ = jax.lax.scan(
-            epoch_step, (params, opt_states, batch_stats), ekeys
-        )
-        accs = jax.vmap(eval_one, in_axes=(0, 0, x_axis, 0))(
-            p, bs, X_pool, test_masks
-        )
-        return accs, p
-
-    def train_folds_scan_rnn(epochs: int):
-        # the fold axis is the batch axis here: keep the XLA scan GRU,
-        # whose small matmuls batch ACROSS folds — serializing one Pallas
-        # kernel instance per fold would forfeit that
-        from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
-            disable_pallas_gru,
-        )
-
-        with disable_pallas_gru():
-            return train_folds(epochs)
-
-    return jax.jit(train_folds_scan_rnn, static_argnums=0)
+    return _FoldTrainer(
+        fn, (X_pool, y_pool, train_weights, test_masks, seed)
+    )
 
 
 def pooled_fold_arrays(tar_feats, tar_y, cross_feats, cross_ys,

@@ -159,6 +159,11 @@ class TrainSeq2SeqConfig:
     decay_iters: int = 500
     pooled: bool = True  # cross-patient aligned pooling
     fold_parallel: bool = True  # train all folds as one vmapped program
+    # folds per vmapped program (0 = all n_folds at once). At reference
+    # scale (~1.2k pooled trials, T=200) 20 simultaneous folds exceed one
+    # chip's HBM — pick a divisor of n_folds (e.g. 4) so every chunk hits
+    # the same compiled program
+    fold_chunk: int = 0
     # augmented copies of the pooled ALIGNED train rows (the reference's
     # post-alignment augmentation list, train_seq2seq.py:91:
     # time_shifting,noise_jitter,scaling); '' = none, 'all' = all five

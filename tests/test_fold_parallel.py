@@ -56,3 +56,49 @@ def test_fold_parallel_sharded_matches():
     np.testing.assert_allclose(
         np.asarray(shard_accs), np.asarray(plain_accs), atol=0.05
     )
+
+
+def test_fold_trainer_fn_no_retrace_and_chunks():
+    """make_seq2seq_fold_trainer_fn traces ONCE for same-shape calls
+    (seed is traced, not baked) — the 50-iteration driver reuses one
+    compiled program — and fold chunks through the same fn produce valid
+    per-fold accuracies."""
+    from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+        make_seq2seq_fold_trainer_fn,
+    )
+
+    model, (X, y, w, te) = _setup(seed=2, n_folds=4)
+    fn = make_seq2seq_fold_trainer_fn(model, lr=3e-3, decay_iters=200)
+    a0, _ = fn(X, y, w, te, 0, 30)
+    a1, _ = fn(X, y, w, te, 7, 30)  # different seed: same trace
+    assert np.asarray(a0).shape == (4,) and np.isfinite(a0).all()
+    # different seeds -> genuinely different training runs
+    assert not np.allclose(np.asarray(a0), np.asarray(a1))
+    if hasattr(fn, "_cache_size"):
+        assert fn._cache_size() == 1
+
+    # chunked: two 2-fold calls cover the same folds as one 4-fold call
+    c0, _ = fn(X, y, w[:2], te[:2], 0, 30)
+    c1, _ = fn(X, y, w[2:], te[2:], 31 * 2, 30)
+    accs = np.concatenate([np.asarray(c0), np.asarray(c1)])
+    assert accs.shape == (4,) and np.isfinite(accs).all()
+
+
+def test_run_train_seq2seq_fold_chunk(tmp_path):
+    """The driver's fold_chunk path: chunks of 2 folds through one
+    compiled program yield all n_folds accuracies."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        run_train_seq2seq,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import (
+        TrainSeq2SeqConfig,
+    )
+
+    accs = run_train_seq2seq(
+        TrainSeq2SeqConfig(
+            n_iter=1, n_folds=4, epochs=3, fold_chunk=2,
+            log_metrics=False, out=str(tmp_path / "s2s.csv"),
+        ),
+        verbose=False,
+    )
+    assert accs.shape == (4,) and np.isfinite(accs).all()
