@@ -122,9 +122,21 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
     return pts[0], tuple(pts[1:]), n_y, n_a
 
 
+# seed/shape-keyed cache: pooled synthetic contexts re-prep every
+# iteration (leak-free per-mask fits) but the underlying dataset is a
+# pure function of (seed, sizes) — regenerating it 50x would redo the
+# device datagen + host label encoding per iteration for bitwise-equal
+# arrays. Values are immutable jnp X + host label arrays that no caller
+# mutates in place.
+_SYNTH_CTC_CACHE: dict = {}
+
+
 def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 72),
                    vocab=9, seq_len=3):
     """Synthetic CTC dataset: (X, labels(1..9), input_lens, label_lens) per pt."""
+    key = (seed, n_patients, n_trials, T, tuple(channels), vocab, seq_len)
+    if key in _SYNTH_CTC_CACHE:
+        return _SYNTH_CTC_CACHE[key]
     ds = make_synthetic_patients_device(
         seed=seed, n_patients=n_patients, n_classes=min(27, vocab**2),
         trials_per_class=max(1, n_trials // 27), T=T, channels=channels,
@@ -143,7 +155,79 @@ def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 
                 np.full(n, seq_len, np.int32),
             )
         )
+    _SYNTH_CTC_CACHE[key] = out
     return out
+
+
+def _synthetic_ctc_cfg(cfg):
+    """_synthetic_ctc sized by the config's synth_* knobs (reference CTC
+    production scale: 8 patients, ~250 trials, T=600 bins). Configs
+    without the knobs (make-xforms) keep the historical 3-patient
+    defaults; so do the default knob values, keeping test/bench
+    compile-cache shapes stable."""
+    n_p = getattr(cfg, "synth_patients", 3)
+    chans = (64, 80, 72, 111, 96, 128, 56, 104)[:n_p]
+    return _synthetic_ctc(
+        seed=cfg.seed, n_patients=n_p,
+        n_trials=getattr(cfg, "synth_trials", 120),
+        T=getattr(cfg, "synth_T", 200), channels=chans,
+    )
+
+
+def _synthetic_ctc_n_trials(cfg) -> int:
+    """Per-patient trial count of :func:`_synthetic_ctc_cfg` WITHOUT
+    generating the dataset (27 sequence classes x trials//27 each)."""
+    return 27 * max(1, getattr(cfg, "synth_trials", 120) // 27)
+
+
+_CTC_PREP_JIT = None
+
+
+def _ctc_prep_jit():
+    """Jitted CTC-prep programs (built once per process).
+
+    The pooled CTC prep (per-patient PCA fit+transform, per-cross-patient
+    CCA fit+align) used to run EAGERLY: every jnp primitive dispatched as
+    its own device program, which through the tunneled backend (~0.4 s
+    D2H latency, per-op roundtrips) made prep the dominant cost of a
+    train-ctc iteration at reference scale (probe: prep 678 s vs seconds
+    of training). Fusing each fit into ONE jitted program turns prep into
+    ~2 dispatches per patient; jit's shape cache handles the per-patient
+    channel widths (one compile per distinct width, then pure exec for
+    the remaining 49 iterations).
+    """
+    global _CTC_PREP_JIT
+    if _CTC_PREP_JIT is not None:
+        return _CTC_PREP_JIT
+    from functools import partial
+
+    from cross_patient_speech_decoding_tpu.decoders.pooled import (
+        _fit_pca_latents,
+        _transform_latents,
+    )
+    from cross_patient_speech_decoding_tpu.ops.cca import (
+        fit_cca_aligner,
+        transform_b_to_a,
+    )
+
+    @partial(jax.jit, static_argnames=("n_comp", "max_k"))
+    def pca_fit_lat(X, mask, n_comp, max_k):
+        st = _fit_pca_latents(X, n_comp, max_k, sample_mask=mask)
+        return st, _transform_latents(st, X, max_k)
+
+    @partial(jax.jit, static_argnames=("max_k",))
+    def pca_apply(st, X, max_k):
+        return _transform_latents(st, X, max_k)
+
+    @partial(jax.jit, static_argnames=("n_classes",))
+    def cca_align_lat(lat_a, lat_b, ids_a, ids_b, mask_a, n_classes):
+        al = fit_cca_aligner(
+            lat_a, lat_b, ids_a, ids_b, n_classes, mask_a=mask_a
+        )
+        return transform_b_to_a(al, lat_b)
+
+    _CTC_PREP_JIT = (pca_fit_lat, pca_apply, cca_align_lat)
+    return _CTC_PREP_JIT
 
 
 # ------------------------------------------------------------- svm decode ----
@@ -1001,28 +1085,23 @@ def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
         datasets += [_with_labels(l, y) for l, y in lats]
         return datasets, lat_t.shape[-1], _with_labels(lat_te, y_te)
 
-    # on-the-fly PCA (+ CCA for the aligned context), fit on train only
-    from cross_patient_speech_decoding_tpu.decoders.pooled import (
-        _fit_pca_latents,
-        _transform_latents,
-    )
-    from cross_patient_speech_decoding_tpu.ops.cca import (
-        fit_cca_aligner,
-        transform_b_to_a,
-    )
+    # on-the-fly PCA (+ CCA for the aligned context), fit on train only;
+    # one jitted program per fit (see _ctc_prep_jit) — eager per-op
+    # dispatch through the tunneled backend dominated prep otherwise
+    pca_fit_lat, pca_apply, cca_align_lat = _ctc_prep_jit()
 
     max_k = 32
     Xj_t = jnp.asarray(X_t)
-    pca_t = _fit_pca_latents(Xj_t, cfg.n_components, max_k)
-    lat_t = _transform_latents(pca_t, Xj_t, max_k)
-    lat_te = _transform_latents(pca_t, jnp.asarray(X_te), max_k)
+    pca_t, lat_t = pca_fit_lat(Xj_t, None, cfg.n_components, max_k)
+    lat_te = pca_apply(pca_t, jnp.asarray(X_te), max_k)
 
     ids = [encode_label_sequences(y_t)]
     cross_lats = []
     for pt, X_p, y_p in cross:
-        Xj = jnp.asarray(X_p)
-        pca = _fit_pca_latents(Xj, cfg.n_components, max_k)
-        cross_lats.append((_transform_latents(pca, Xj, max_k), y_p))
+        _, lat_p = pca_fit_lat(
+            jnp.asarray(X_p), None, cfg.n_components, max_k
+        )
+        cross_lats.append((lat_p, y_p))
         ids.append(encode_label_sequences(y_p))
     uni = np.unique(np.concatenate(ids))
     idsj = [jnp.asarray(to_class_ids(e, uni)[0]) for e in ids]
@@ -1030,8 +1109,8 @@ def _load_ctc_files(cfg: TrainCTCConfig, rng: np.random.Generator):
     datasets = [_with_labels(np.asarray(lat_t, np.float32), y_t)]
     for i, (lat, y_p) in enumerate(cross_lats):
         if cfg.context == "aligned":
-            al = fit_cca_aligner(lat_t, lat, idsj[0], idsj[i + 1], len(uni))
-            lat = transform_b_to_a(al, lat)
+            lat = cca_align_lat(lat_t, lat, idsj[0], idsj[i + 1], None,
+                                len(uni))
         datasets.append(_with_labels(np.asarray(lat, np.float32), y_p))
     return datasets, max_k, _with_labels(np.asarray(lat_te, np.float32), y_te)
 
@@ -1053,16 +1132,7 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator,
     if cfg.data != "synthetic":
         return _load_ctc_files(cfg, rng)
 
-    from cross_patient_speech_decoding_tpu.decoders.pooled import (
-        _fit_pca_latents,
-        _transform_latents,
-    )
-    from cross_patient_speech_decoding_tpu.ops.cca import (
-        fit_cca_aligner,
-        transform_b_to_a,
-    )
-
-    pts = _synthetic_ctc(seed=cfg.seed)
+    pts = _synthetic_ctc_cfg(cfg)
     X_t, y_t, il_t, ll_t = pts[0]
     if cfg.context == "chance":
         y_t = _chance_labels(cfg, y_t, rng)
@@ -1071,7 +1141,11 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator,
     if cfg.context == "patient":
         return [(X_t, y_t, il_t, ll_t)], X_t.shape[-1], None
 
-    # pooled contexts: per-patient PCA to a common width
+    # pooled contexts: per-patient PCA to a common width. Each fit runs
+    # as ONE jitted program (see _ctc_prep_jit) — this prep re-runs every
+    # iteration with a fresh train mask, so dispatch count is the cost
+    # driver on the remote backend.
+    pca_fit_lat, _, cca_align_lat = _ctc_prep_jit()
     max_k = 32
     maskj = (
         None if tar_train_mask is None
@@ -1081,11 +1155,9 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator,
     ids = []
     for i, (X, y, il, ll) in enumerate(pts):
         Xj = jnp.asarray(X)
-        pca = _fit_pca_latents(
-            Xj, cfg.n_components, max_k,
-            sample_mask=maskj if i == 0 else None,
+        _, lat = pca_fit_lat(
+            Xj, maskj if i == 0 else None, cfg.n_components, max_k
         )
-        lat = _transform_latents(pca, Xj, max_k)
         lats.append(lat)
         metas.append((y, il, ll))
         enc = encode_label_sequences(y)
@@ -1096,9 +1168,8 @@ def _prep_ctc_context(cfg: TrainCTCConfig, rng: np.random.Generator,
     out = []
     for i, lat in enumerate(lats):
         if cfg.context == "aligned" and i > 0:
-            al = fit_cca_aligner(lats[0], lat, idsj[0], idsj[i], len(uni),
-                                 mask_a=maskj)
-            lat = transform_b_to_a(al, lat)
+            lat = cca_align_lat(lats[0], lat, idsj[0], idsj[i], maskj,
+                                len(uni))
         y, il, ll = metas[i]
         out.append((lat.astype(jnp.float32), y, il, ll))
     return out, max_k, None
@@ -1332,7 +1403,7 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     if prep_invariant and len(pers) < cfg.n_iter:
         prep_cache = _prep_ctc_context(cfg, np.random.default_rng(cfg.seed))
     n_tar = (
-        len(_synthetic_ctc(seed=cfg.seed)[0][1]) if synth_pooled else None
+        _synthetic_ctc_n_trials(cfg) if synth_pooled else None
     )
 
     # model/optimizer/step programs are iteration-invariant: building (and
@@ -1609,7 +1680,7 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
         if cfg.data == "synthetic":
             # split FIRST so the pooled PCA/CCA fit excludes the val rows
             # (the leak-free prep; prep consumes no rng on this path)
-            n_tar = len(_synthetic_ctc(seed=cfg.seed)[0][1])
+            n_tar = _synthetic_ctc_n_trials(cfg)
             tr, va, _ = train_val_test_masks(n_tar, rng)
             datasets, _, _ = _prep_ctc_context(
                 prep_cfg, rng, tar_train_mask=tr
@@ -1634,7 +1705,7 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
         )
         val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
     else:
-        pts = _synthetic_ctc(seed=cfg.seed)
+        pts = _synthetic_ctc_cfg(cfg)
         X, y, il, ll = pts[0]
         tr, va, _ = train_val_test_masks(len(X), rng)
         tr_i, va_i = np.where(tr > 0)[0], np.where(va > 0)[0]
@@ -1749,7 +1820,7 @@ def run_make_xforms(cfg, verbose: bool = True):
 
     tw_sel, tw_orig = _tuple_arg(cfg.tw_select), _tuple_arg(cfg.tw_orig)
     if cfg.data == "synthetic":
-        pts_data = _synthetic_ctc(seed=cfg.seed)
+        pts_data = _synthetic_ctc_cfg(cfg)
         names = [cfg.target_pt] + [
             p.strip() for p in cfg.train_pts.split(",")
             if p.strip() and p.strip() != cfg.target_pt

@@ -280,6 +280,13 @@ class TrainCTCConfig:
     save_logits: bool = False
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
     trace: bool = False  # device profile of the first iteration
+    # synthetic-data scale (data='synthetic' only): reference CTC
+    # production scale is 8 patients, ~250 trials, T=600 bins (4 s @
+    # 200 Hz cropped to 3 s). Trials round down to a multiple of the 27
+    # sequence classes.
+    synth_patients: int = 3
+    synth_trials: int = 120
+    synth_T: int = 200
     seed: int = 0
     # warm-start every iteration from a reference Lightning checkpoint
     # (models.torch_import) instead of random init — fine-tune a
@@ -316,6 +323,10 @@ class TuneCTCConfig:
     pool_train: bool = False  # pool unaligned cross data (tune_ctc_rnn)
     sampler: str = "random"  # random | tpe (BOHB-style model-based search)
     n_components: float = 0.9
+    # synthetic-data scale (data='synthetic' only; see TrainCTCConfig)
+    synth_patients: int = 3
+    synth_trials: int = 120
+    synth_T: int = 200
     seed: int = 0
     manifest: str = "results/tune_manifest.jsonl"
     # tune -> train handoff: when set, the winning config is written as

@@ -857,3 +857,23 @@ def test_seq2seq_synth_scale_knobs():
     assert len(Xs) == 5
     assert Xs[0].shape == (18, 30, 64) and Xs[4].shape[-1] == 111
     assert all(len(y) == 18 for y in ys)
+
+
+def test_ctc_synth_scale_knobs():
+    """train-ctc/tune-ctc synth_patients/synth_trials/synth_T size the
+    synthetic CTC dataset; the count helper matches without generating."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _synthetic_ctc_cfg,
+        _synthetic_ctc_n_trials,
+    )
+
+    cfg = TrainCTCConfig(synth_patients=4, synth_trials=54, synth_T=50)
+    pts = _synthetic_ctc_cfg(cfg)
+    assert len(pts) == 4
+    X, y, il, ll = pts[0]
+    assert X.shape == (54, 50, 64) and len(y) == 54
+    assert _synthetic_ctc_n_trials(cfg) == 54
+    # defaults keep the historical shapes (compile-cache stability)
+    d = _synthetic_ctc_cfg(TrainCTCConfig())
+    assert len(d) == 3 and d[0][0].shape == (108, 200, 64)
+    assert _synthetic_ctc_n_trials(TrainCTCConfig()) == 108
