@@ -122,12 +122,14 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
     return pts[0], tuple(pts[1:]), n_y, n_a
 
 
-# seed/shape-keyed cache: pooled synthetic contexts re-prep every
-# iteration (leak-free per-mask fits) but the underlying dataset is a
-# pure function of (seed, sizes) — regenerating it 50x would redo the
-# device datagen + host label encoding per iteration for bitwise-equal
-# arrays. Values are immutable jnp X + host label arrays that no caller
-# mutates in place.
+# Single-entry cache keyed by (seed, sizes): pooled synthetic contexts
+# re-prep every iteration (leak-free per-mask fits) but the underlying
+# dataset is a pure function of (seed, sizes) — regenerating it 50x
+# would redo the device datagen + host label encoding per iteration for
+# bitwise-equal arrays. ONE entry only: a reference-scale dataset pins
+# ~0.5 GB of HBM, so a multi-seed sweep in one process must evict the
+# previous seed's arrays rather than accumulate them. Values are
+# immutable jnp X + host label arrays that no caller mutates in place.
 _SYNTH_CTC_CACHE: dict = {}
 
 
@@ -155,6 +157,7 @@ def _synthetic_ctc(seed=0, n_patients=3, n_trials=120, T=200, channels=(64, 80, 
                 np.full(n, seq_len, np.int32),
             )
         )
+    _SYNTH_CTC_CACHE.clear()
     _SYNTH_CTC_CACHE[key] = out
     return out
 
@@ -1676,6 +1679,8 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
             pca_path=cfg.pca_path, cca_path=cfg.cca_path,
             align_pt=cfg.align_pt, context=context, seed=cfg.seed,
             n_components=cfg.n_components,
+            synth_patients=cfg.synth_patients,
+            synth_trials=cfg.synth_trials, synth_T=cfg.synth_T,
         )
         if cfg.data == "synthetic":
             # split FIRST so the pooled PCA/CCA fit excludes the val rows

@@ -171,7 +171,9 @@ class TrainSeq2SeqConfig:
     log_metrics: bool = True  # per-epoch (or per-iteration) CSV logs
     trace: bool = False  # device profile of the first iteration
     # synthetic-data scale (data='synthetic' only): reference scale is
-    # 8 patients, ~150 trials (trials = 27 classes x synth_trials), T=200
+    # 8 patients, ~150 trials (trials = 27 classes x synth_trials), T=200.
+    # NOTE: here synth_trials is PER CLASS (total = 27 x synth_trials);
+    # the CTC configs' same-named knob is the TOTAL per patient.
     synth_patients: int = 3
     synth_T: int = 60
     synth_trials: int = 12
@@ -282,8 +284,9 @@ class TrainCTCConfig:
     trace: bool = False  # device profile of the first iteration
     # synthetic-data scale (data='synthetic' only): reference CTC
     # production scale is 8 patients, ~250 trials, T=600 bins (4 s @
-    # 200 Hz cropped to 3 s). Trials round down to a multiple of the 27
-    # sequence classes.
+    # 200 Hz cropped to 3 s). synth_trials is the TOTAL per patient,
+    # rounded down to a multiple of the 27 sequence classes (unlike
+    # TrainSeq2SeqConfig.synth_trials, which is per class).
     synth_patients: int = 3
     synth_trials: int = 120
     synth_T: int = 200

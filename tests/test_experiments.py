@@ -877,3 +877,19 @@ def test_ctc_synth_scale_knobs():
     d = _synthetic_ctc_cfg(TrainCTCConfig())
     assert len(d) == 3 and d[0][0].shape == (108, 200, 64)
     assert _synthetic_ctc_n_trials(TrainCTCConfig()) == 108
+
+
+def test_tune_ctc_pooled_honors_synth_knobs(tmp_path):
+    """The pooled tune-ctc path must size its prep dataset by the tune
+    config's synth_* knobs — a mask built from _synthetic_ctc_n_trials
+    against a default-sized dataset crashes inside the jitted PCA fit
+    (regression: prep_cfg dropped the knobs)."""
+    from cross_patient_speech_decoding_tpu.cli.experiments import run_tune_ctc
+
+    cfg = TuneCTCConfig(
+        align_train=True, n_trials=1, rungs="2",
+        synth_patients=2, synth_trials=54, synth_T=40,
+        manifest=str(tmp_path / "m.jsonl"),
+    )
+    res = run_tune_ctc(cfg, verbose=False)
+    assert len(res) == 1 and np.isfinite(res[0]["metric"])
