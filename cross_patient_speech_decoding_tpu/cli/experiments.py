@@ -777,7 +777,14 @@ def _run_log_path(out: str, run_name: str, it: int, fold: int | None = None):
     name = f"iter{it:03d}" + (
         "" if fold is None else f"_fold{fold:02d}"
     ) + ".csv"
-    return str(d / name)
+    p = d / name
+    # this is only called for iterations about to RUN (resumed-away
+    # iterations never reach it), so a pre-existing file is always a
+    # stale log from an earlier run with the same out path — truncate it
+    # rather than appending interleaved epoch streams
+    if p.exists():
+        p.unlink()
+    return str(p)
 
 
 def _maybe_trace(enabled: bool, out: str, run_name: str):

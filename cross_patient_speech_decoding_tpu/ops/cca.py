@@ -55,7 +55,9 @@ class CCAAlignment(NamedTuple):
         m_b: (Kb, D) manifold directions for B, columns >= d zeroed.
         canon_corrs: (D,) canonical correlations clipped to [0, 1], zero
             beyond d.
-        d: scalar int32 = min(rank_a, rank_b).
+        d: scalar int32 effective manifold dim: min(rank_a, rank_b),
+            further reduced by singular directions the gram-SVD dropped
+            (near-zero canonical correlation; TPU gram path only).
         proj_b_to_a: (Kb, Ka) composite transform M_b @ pinv(M_a).
         proj_a_to_b: (Ka, Kb) composite transform M_a @ pinv(M_b).
     """
@@ -132,7 +134,18 @@ def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
     """
     g = hdot(M.swapaxes(-1, -2), M)
     D = g.shape[-1]
-    g = g + jnp.eye(D, dtype=g.dtype) * (1.0 - col_mask)[..., None, :]
+    # degenerate-column guard: a column that is (near-)zero DESPITE
+    # col_mask==1 — e.g. an alignment direction zeroed upstream by the
+    # TPU gram-SVD's near-zero-singular-value mask — would make g exactly
+    # singular and the Cholesky NaN, poisoning the whole output (round-3
+    # refscale CTC NaN). Detect on the Gram diagonal (squared column
+    # norms) and treat such columns as masked: identity-pad the
+    # factorization, zero the pinv row (the exact pinv of a zero column).
+    dg = jnp.diagonal(g, axis1=-2, axis2=-1)
+    eps = jnp.finfo(g.dtype).eps
+    tol = jnp.max(dg, axis=-1, keepdims=True) * D * eps
+    eff_mask = col_mask * (dg > tol).astype(g.dtype)
+    g = g + jnp.eye(D, dtype=g.dtype) * (1.0 - eff_mask)[..., None, :]
     L = jnp.linalg.cholesky(g)
     z = jax.scipy.linalg.solve_triangular(
         L, M.swapaxes(-1, -2), lower=True
@@ -140,7 +153,7 @@ def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
     sol = jax.scipy.linalg.solve_triangular(
         L.swapaxes(-1, -2), z, lower=False
     )
-    return sol * col_mask[..., :, None]
+    return sol * eff_mask[..., :, None]
 
 
 def _whiten_chol(g: jax.Array, R: int):
@@ -192,15 +205,27 @@ def _whiten_chol(g: jax.Array, R: int):
     return W, rank
 
 
-def _svd_small(g: jax.Array, method: str):
-    """SVD of the small between-view matrix.
+def _svd_small(g: jax.Array, method: str, force_gram: bool | None = None):
+    """SVD of the small between-view matrix -> (u, s, vt, keep).
 
     method='gram' on TPU: via the Pallas Jacobi eigensolver on g^T g
     (U = g V / s, consistent pairing by construction; near-zero singular
     directions are zeroed — they carry no alignment signal). Otherwise
-    jnp.linalg.svd.
+    jnp.linalg.svd, where every direction is kept.
+
+    ``keep`` is the (..., D) {0,1} mask of singular directions that
+    survived: the gram route zeroes u-columns whose singular value sits
+    below ~K*eps*10 of s_max (squaring g loses them entirely in f32), and
+    the CALLER must drop those columns from its alignment manifold — a
+    zeroed column inside an otherwise-valid column mask makes the
+    downstream pinv Gram exactly singular (NaN Cholesky; round-3 refscale
+    CTC bug). ``force_gram`` exists so CPU tests can pin the TPU branch.
     """
-    if method == "gram" and jax.default_backend() == "tpu":
+    use_gram = (
+        method == "gram" and jax.default_backend() == "tpu"
+        if force_gram is None else force_gram
+    )
+    if use_gram:
         from cross_patient_speech_decoding_tpu.ops.jacobi import batched_eigh
 
         gtg = hdot(g.swapaxes(-1, -2), g)
@@ -208,10 +233,12 @@ def _svd_small(g: jax.Array, method: str):
         s = jnp.sqrt(jnp.maximum(w[..., ::-1], 0.0))
         v = v[..., ::-1]
         tol = jnp.max(s, axis=-1, keepdims=True) * g.shape[-1] * jnp.finfo(g.dtype).eps * 10
+        keep = (s > tol).astype(g.dtype)
         s_inv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
         u = hdot(g, v) * s_inv[..., None, :]
-        return u, s, v.swapaxes(-1, -2)
-    return jnp.linalg.svd(g, full_matrices=False)
+        return u, s, v.swapaxes(-1, -2), keep
+    u, s, vt = jnp.linalg.svd(g, full_matrices=False)
+    return u, s, vt, jnp.ones_like(s)
 
 
 def cca_align(
@@ -255,10 +282,12 @@ def cca_align(
 
     # (..., Ka, Kb); masked dims are exact zero rows/cols
     g = hdot(q_a.swapaxes(-1, -2), q_b)
-    u, s, vt = _svd_small(g, method)
+    u, s, vt, s_keep = _svd_small(g, method)
     D = s.shape[-1]  # = min(Ka, Kb)
 
-    col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype)
+    # both masks are prefix masks over s-descending order, so their
+    # product is the min-rank prefix
+    col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype) * s_keep
     m_a = hdot(pinv_ra, u[..., :, :D]) * col_mask[..., None, :]
     m_b = hdot(pinv_rb, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
     corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
@@ -267,11 +296,13 @@ def cca_align(
     pinv_mb = masked_pinv(m_b)
     proj_b_to_a = hdot(m_b, pinv_ma)
     proj_a_to_b = hdot(m_a, pinv_mb)
-    return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
+    d_eff = jnp.sum(col_mask, axis=-1).astype(jnp.int32)
+    return CCAAlignment(m_a, m_b, corrs, d_eff, proj_b_to_a, proj_a_to_b)
 
 
 def _cca_align_gram(
-    La: jax.Array, Lb: jax.Array, chol: bool = False
+    La: jax.Array, Lb: jax.Array, chol: bool = False,
+    force_gram: bool | None = None,
 ) -> CCAAlignment:
     """Gram-path CCA on pre-centered latents: one tall read, all-small algebra.
 
@@ -326,10 +357,14 @@ def _cca_align_gram(
     d = jnp.minimum(rank_a, rank_b)
 
     g = hdot(w_a.swapaxes(-1, -2), hdot(gx, w_b))  # == q_a^T q_b
-    u, s, vt = _svd_small(g, "gram")
+    u, s, vt, s_keep = _svd_small(g, "gram", force_gram=force_gram)
     D = s.shape[-1]  # = min(ka, kb)
 
-    col_mask = (jnp.arange(D) < d[..., None]).astype(La.dtype)
+    # s_keep drops directions the gram-SVD zeroed (near-zero canonical
+    # correlation): leaving them inside col_mask hands _fast_masked_pinv
+    # an exactly-singular Gram (NaN Cholesky — round-3 refscale CTC bug).
+    # Both masks are prefix masks over s-descending order.
+    col_mask = (jnp.arange(D) < d[..., None]).astype(La.dtype) * s_keep
     m_a = hdot(w_a, u[..., :, :D]) * col_mask[..., None, :]
     m_b = hdot(w_b, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
     corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
@@ -338,7 +373,8 @@ def _cca_align_gram(
     pinv_mb = _fast_masked_pinv(m_b, col_mask)
     proj_b_to_a = hdot(m_b, pinv_ma)
     proj_a_to_b = hdot(m_a, pinv_mb)
-    return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
+    d_eff = jnp.sum(col_mask, axis=-1).astype(jnp.int32)
+    return CCAAlignment(m_a, m_b, corrs, d_eff, proj_b_to_a, proj_a_to_b)
 
 
 def cnd_avg(

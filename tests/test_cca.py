@@ -314,3 +314,66 @@ def test_shared_trial_subselect_disjoint_classes_raises():
         shared_trial_subselect_indices(
             np.array([0, 0, 1]), np.array([2, 3, 3]), rng
         )
+
+
+def test_fast_masked_pinv_degenerate_column_inside_mask():
+    """A zero column NOT reflected in col_mask must not NaN the pinv.
+
+    Regression: the TPU gram-SVD zeroes near-zero canonical-correlation
+    directions, leaving an exact-zero column in m_a while col_mask still
+    marks it valid — the normal-equation Gram is then exactly singular
+    and the Cholesky NaN'd the whole alignment (round-3 refscale CTC
+    bug). The pinv must self-detect degenerate columns and return the
+    exact pinv (zero ROW for a zero column)."""
+    from cross_patient_speech_decoding_tpu.ops.cca import _fast_masked_pinv
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(9, 4)).astype(np.float32)
+    M[:, 2] = 0.0  # degenerate despite mask==1
+    mask = jnp.ones((4,), jnp.float32)
+    p = np.asarray(_fast_masked_pinv(jnp.asarray(M), mask))
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p, np.linalg.pinv(M), atol=2e-5)
+    np.testing.assert_array_equal(p[2], np.zeros(9, np.float32))
+
+
+def test_cca_gram_svd_zero_correlation_direction_finite():
+    """The TPU gram-SVD path (forced on CPU) with an exactly-orthogonal
+    direction pair: the zeroed singular direction must leave the
+    alignment manifold (col_mask), not poison the pinv with NaN.
+
+    Regression for the round-3 refscale CTC NaN: before the fix,
+    col_mask came from whitening ranks alone, so the s-zeroed column of
+    m_a hit _fast_masked_pinv as 'valid' -> singular Gram -> NaN."""
+    from cross_patient_speech_decoding_tpu.ops.cca import _cca_align_gram
+
+    # exact-arithmetic construction (f32 products/sums all exact): each
+    # column is a +1/-1 spike pair (zero-mean by construction), shared
+    # columns are identical (corr exactly 1), the private pair has
+    # disjoint support (corr exactly 0 -> the gram-SVD's keep mask
+    # zeroes it deterministically)
+    def spike(r, a):
+        c = np.zeros(r, np.float32)
+        c[a], c[a + 1] = 1.0, -1.0
+        return c
+
+    R = 64
+    shared = [spike(R, 4 * j) for j in range(3)]
+    La = np.stack(shared + [spike(R, 20)], axis=1)
+    Lb = np.stack(shared + [spike(R, 30)], axis=1)
+    La_c, Lb_c = jnp.asarray(La), jnp.asarray(Lb)
+
+    for chol in (False, True):
+        res = _cca_align_gram(La_c, Lb_c, chol=chol, force_gram=True)
+        for name in ("m_a", "m_b", "canon_corrs", "proj_b_to_a",
+                     "proj_a_to_b"):
+            arr = np.asarray(getattr(res, name))
+            assert np.isfinite(arr).all(), f"{name} not finite (chol={chol})"
+        corrs = np.asarray(res.canon_corrs)
+        # 3 strong directions survive; the orthogonal pair is dropped
+        np.testing.assert_allclose(corrs[:3], 1.0, atol=1e-3)
+        assert corrs[3] == 0.0
+        # dropped direction leaves exact-zero manifold columns and is
+        # excluded from the effective manifold dim
+        np.testing.assert_array_equal(np.asarray(res.m_a)[:, 3], 0.0)
+        assert int(res.d) == 3
