@@ -215,7 +215,10 @@ def _ctc_prep_jit():
 
     @partial(jax.jit, static_argnames=("n_comp", "max_k"))
     def pca_fit_lat(X, mask, n_comp, max_k):
-        st = _fit_pca_latents(X, n_comp, max_k, sample_mask=mask)
+        # low_refit_k=30: the CTC datamodules' low-component artifact
+        # guard (reduce_to_latent_space, realtime_datamodule.py:813-869)
+        st = _fit_pca_latents(X, n_comp, max_k, sample_mask=mask,
+                              low_refit_k=30)
         return st, _transform_latents(st, X, max_k)
 
     @partial(jax.jit, static_argnames=("max_k",))

@@ -90,11 +90,14 @@ class DecodeConfig:
     seed: int = 0
 
 
-def _fit_pca_latents(X, n_comp, max_k, sample_mask=None):
+def _fit_pca_latents(X, n_comp, max_k, sample_mask=None, low_refit_k=0):
     """PCA over flattened (N*T, C) with optional per-trial masking.
 
     Uses the Gram path: N*T >> C in every fold program, so the (C, C)
     covariance eigensolve replaces a brutally tall batched SVD.
+    ``low_refit_k`` enables the CTC datamodules' low-component artifact
+    guard (see :func:`ops.pca.pca_fit`); the classical decoders keep the
+    reference's plain-PCA behavior (off).
     """
     N, T, C = X.shape
     flat = X.reshape(N * T, C)
@@ -102,7 +105,7 @@ def _fit_pca_latents(X, n_comp, max_k, sample_mask=None):
     if sample_mask is not None:
         row_mask = jnp.repeat(sample_mask, T)
     st = pca_fit(flat, n_comp, max_components=max_k, sample_mask=row_mask,
-                 method="gram")
+                 method="gram", low_refit_k=low_refit_k)
     return st
 
 

@@ -99,6 +99,8 @@ def pca_fit(
     center: bool = True,
     sample_mask: jax.Array | None = None,
     method: str = "svd",
+    low_refit_k: int = 0,
+    low_thresh: int = 5,
 ) -> PCAState:
     """Fit (masked) PCA on X of shape (N, F).
 
@@ -114,6 +116,16 @@ def pca_fit(
             the left singular vectors, so the (F, F) covariance eigensolve
             replaces the tall (N, F) SVD: far cheaper when N >> F (the fold
             programs' regime) at the cost of squaring the condition number.
+        low_refit_k: if > 0, the reference CTC datamodules' low-component
+            artifact guard (``reduce_to_latent_space``,
+            realtime_sim/realtime_datamodule.py:813-869): when the
+            variance-fraction selection yields <= ``low_thresh`` components
+            — an artifact component swallowing the variance budget — use a
+            fixed ``low_refit_k`` components instead. (The reference's
+            in-code comment about dropping the first component is stale:
+            no call path removes it, so neither does this.) Same fitted
+            basis either way — only the active-component mask changes.
+        low_thresh: component-count threshold for ``low_refit_k``.
     """
     N, F = X.shape
     full_k = min(N, F)
@@ -143,6 +155,12 @@ def pca_fit(
     evr_full = var / total
 
     n_active = _resolve_n_active(evr_full, s, n_components, K)
+    if low_refit_k > 0:
+        n_active = jnp.where(
+            n_active <= low_thresh,
+            jnp.minimum(jnp.int32(low_refit_k), jnp.int32(K)),
+            n_active,
+        )
     mask = (jnp.arange(K) < n_active).astype(X.dtype)
 
     components = (vt[:K].T) * mask[None, :]

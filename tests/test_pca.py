@@ -134,3 +134,36 @@ def test_float_n_components_one_rejected():
                     jnp.float32)
     with pytest.raises(ValueError):
         pca_fit(X, n_components=1.0, max_components=4)
+
+
+def test_pca_low_component_artifact_refit():
+    """The CTC datamodules' low-component guard (reference
+    reduce_to_latent_space, realtime_datamodule.py:813-869): a
+    variance-fraction fit that resolves to <= low_thresh components —
+    one artifact direction swallowing the variance budget — switches to
+    a fixed low_refit_k component count. Off by default (classical
+    decoders keep plain PCA)."""
+    rng = np.random.default_rng(3)
+    # one direction carries ~99.9% of the variance
+    u = rng.normal(size=(300, 1)) * 100.0
+    X = (u @ rng.normal(size=(1, 12)) + rng.normal(size=(300, 12))).astype(
+        np.float32
+    )
+    Xj = jnp.asarray(X)
+
+    plain = pca_fit(Xj, 0.9)
+    assert int(plain.n_active) <= 5
+
+    guarded = pca_fit(Xj, 0.9, low_refit_k=30)
+    assert int(guarded.n_active) == min(30, 12)
+    # same fitted basis, only the active mask differs
+    np.testing.assert_allclose(
+        np.asarray(guarded.singular_values), np.asarray(plain.singular_values),
+        rtol=1e-6,
+    )
+
+    # counts above the threshold are untouched
+    X_iso = jnp.asarray(rng.normal(size=(300, 12)).astype(np.float32))
+    assert int(pca_fit(X_iso, 0.9, low_refit_k=30).n_active) == int(
+        pca_fit(X_iso, 0.9).n_active
+    )
