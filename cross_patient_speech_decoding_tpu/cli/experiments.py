@@ -598,6 +598,7 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
         trainer_fn = make_seq2seq_fold_trainer_fn(
             model, lr=cfg.lr, weight_decay=cfg.weight_decay,
             decay_iters=cfg.decay_iters, clip=cfg.clip,
+            rnn_impl=getattr(cfg, "rnn_impl", "scan"),
         )
         aug_names = _parse_augmentations(cfg.augmentations)
         for it in range(len(done_iters), cfg.n_iter):

@@ -46,6 +46,7 @@ def make_seq2seq_fold_trainer_fn(
     teacher_forcing: float = 0.5,
     mesh=None,
     fold_axis: str = "data",
+    rnn_impl: str = "scan",
 ):
     """Build the jitted fold trainer.
 
@@ -57,6 +58,13 @@ def make_seq2seq_fold_trainer_fn(
 
     Args:
         model: a Seq2SeqRNN (or compatible) flax module.
+        rnn_impl: 'scan' forces the XLA scan GRU everywhere (the safe
+            default at small scales); 'pallas' lets FusedGRU's normal
+            dispatch gate run INSIDE the fold vmap — jax batches the
+            fused kernel by prepending the fold axis to its grid (one
+            launch, per-fold weight blocks), so folds whose per-fold
+            ``B*T`` passes ``pallas_gru.worthwhile`` get the fused layer
+            (reference scale: ~1.2k pooled trials x T=200 per fold).
 
     Call args:
         X_pool: (N, T, C) pooled features (target + aligned cross rows)
@@ -69,6 +77,10 @@ def make_seq2seq_fold_trainer_fn(
         seed: RNG seed (init keys from ``seed``, epoch keys ``seed + 1``).
         epochs: scan length (STATIC — baked into the program).
     """
+    if rnn_impl not in ("scan", "pallas"):
+        raise ValueError(
+            f"rnn_impl must be 'scan' or 'pallas', got {rnn_impl!r}"
+        )
     sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
     tx = optax.chain(
         optax.clip_by_global_norm(clip),
@@ -166,13 +178,20 @@ def make_seq2seq_fold_trainer_fn(
 
     def train_folds_scan_rnn(X_pool, y_pool, train_weights, test_masks,
                              seed, epochs):
-        # the fold axis is the batch axis here: keep the XLA scan GRU,
-        # whose small matmuls batch ACROSS folds — serializing one Pallas
-        # kernel instance per fold would forfeit that
+        # rnn_impl='scan': keep the XLA scan GRU, whose small matmuls
+        # batch ACROSS folds — at small per-fold sizes that beats the
+        # kernel. rnn_impl='pallas': let the dispatch gate fire inside
+        # the vmap; at reference scale the batching rule's one-launch
+        # fold grid keeps the fused layer's stream savings (measured A/B
+        # in docs/ROUND3.md).
         from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
             disable_pallas_gru,
         )
 
+        if rnn_impl == "pallas":
+            return train_folds(
+                X_pool, y_pool, train_weights, test_masks, seed, epochs
+            )
         with disable_pallas_gru():
             return train_folds(
                 X_pool, y_pool, train_weights, test_masks, seed, epochs
@@ -211,6 +230,7 @@ def make_seq2seq_fold_trainer(
     seed: int = 0,
     mesh=None,
     fold_axis: str = "data",
+    rnn_impl: str = "scan",
 ):
     """Build train_folds(epochs) -> (accs (F,), params) for F folds.
 
@@ -227,6 +247,7 @@ def make_seq2seq_fold_trainer(
         teacher_forcing=teacher_forcing,
         mesh=mesh,
         fold_axis=fold_axis,
+        rnn_impl=rnn_impl,
     )
     return _FoldTrainer(
         fn, (X_pool, y_pool, train_weights, test_masks, seed)

@@ -164,6 +164,15 @@ class TrainSeq2SeqConfig:
     # chip's HBM — pick a divisor of n_folds (e.g. 4) so every chunk hits
     # the same compiled program
     fold_chunk: int = 0
+    # RNN implementation inside the fold-parallel program: 'scan' keeps
+    # the XLA scan GRU (small per-fold matmuls batch ACROSS folds);
+    # 'pallas' lets the fused-kernel dispatch gate fire under the fold
+    # vmap (one launch, fold axis prepended to the kernel grid) — only
+    # worthwhile when per-fold B*T clears ops.pallas_gru.worthwhile
+    # (reference scale: ~1.2k pooled trials x T=200). Measured A/B in
+    # docs/ROUND3.md. Ignored when fold_parallel=False (the sequential
+    # path always uses the normal dispatch gate).
+    rnn_impl: str = "scan"
     # augmented copies of the pooled ALIGNED train rows (the reference's
     # post-alignment augmentation list, train_seq2seq.py:91:
     # time_shifting,noise_jitter,scaling); '' = none, 'all' = all five

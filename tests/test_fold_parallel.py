@@ -102,3 +102,26 @@ def test_run_train_seq2seq_fold_chunk(tmp_path):
         verbose=False,
     )
     assert accs.shape == (4,) and np.isfinite(accs).all()
+
+
+def test_fold_trainer_rnn_impl_knob():
+    """rnn_impl='pallas' lets FusedGRU's normal dispatch gate run inside
+    the fold vmap (on CPU the gate is off, so results are bit-identical
+    to the scan default — this pins the plumbing); bad values raise."""
+    from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+        make_seq2seq_fold_trainer_fn,
+    )
+
+    model, (X, y, w, te) = _setup(seed=3, n_folds=2)
+    a_scan, _ = make_seq2seq_fold_trainer_fn(
+        model, lr=3e-3, decay_iters=200, rnn_impl="scan"
+    )(X, y, w, te, 0, 10)
+    a_pal, _ = make_seq2seq_fold_trainer_fn(
+        model, lr=3e-3, decay_iters=200, rnn_impl="pallas"
+    )(X, y, w, te, 0, 10)
+    np.testing.assert_array_equal(np.asarray(a_scan), np.asarray(a_pal))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rnn_impl"):
+        make_seq2seq_fold_trainer_fn(model, rnn_impl="cudnn")

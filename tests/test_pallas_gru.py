@@ -174,3 +174,35 @@ def test_bidir_padded_shapes_and_grads():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
         )
+
+
+def test_vmap_over_per_instance_weights_matches_reference():
+    """vmap(gru_layer) over per-instance weight blocks (the fold-parallel
+    trainer's rnn_impl='pallas' regime: jax's batching rule prepends the
+    vmap axis to the kernel grid — ONE launch) matches the vmapped scan
+    oracle, forward and VJP."""
+    rng = np.random.default_rng(11)
+    E, T, B, F, H = 3, 5, 16, 10, 24
+    x = jnp.asarray(rng.normal(size=(E, T, B, F)) * 0.5, jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(E, B, H)) * 0.3, jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(E, F, 3 * H)) * 0.3, jnp.float32)
+    bi = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(E, H, 3 * H)) * 0.3, jnp.float32)
+    bh = jnp.asarray(rng.normal(size=(E, 3 * H)) * 0.1, jnp.float32)
+    args = (x, h0, wi, bi, wh, bh)
+
+    for reverse in (False, True):
+        f = jax.vmap(lambda *a: gru_layer(*a, reverse=reverse))
+        g = jax.vmap(lambda *a: gru_layer_reference(*a, reverse=reverse))
+        np.testing.assert_allclose(
+            np.asarray(f(*args)), np.asarray(g(*args)), atol=2e-6
+        )
+        gk = jax.grad(lambda *a: jnp.sum(jnp.sin(f(*a))),
+                      argnums=tuple(range(6)))(*args)
+        gr = jax.grad(lambda *a: jnp.sum(jnp.sin(g(*a))),
+                      argnums=tuple(range(6)))(*args)
+        for a, b in zip(gk, gr):
+            scale = max(float(jnp.abs(b).max()), 1e-9)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
+            )
