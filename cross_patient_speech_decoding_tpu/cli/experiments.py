@@ -601,6 +601,16 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
             rnn_impl=getattr(cfg, "rnn_impl", "scan"),
         )
         aug_names = _parse_augmentations(cfg.augmentations)
+        if cfg.log_metrics and cfg.out and start_it == 0:
+            # fresh run (not a resume): a pre-existing fold_accs.csv is a
+            # stale log from an earlier run with the same out path —
+            # truncate it rather than appending rows under its old header
+            # (the per-epoch iterNNN.csv logs get the same treatment in
+            # _run_log_path; resumes keep appending, their prior rows are
+            # this run's own)
+            stale = Path(cfg.out).parent / "logs" / run_name / "fold_accs.csv"
+            if stale.exists():
+                stale.unlink()
         for it in range(len(done_iters), cfg.n_iter):
             tr_m, te_m = stratified_kfold_masks(
                 np.asarray(strat_ids[0]), cfg.n_folds, _iter_rng(it)

@@ -143,9 +143,27 @@ def _fast_masked_pinv(M: jax.Array, col_mask: jax.Array) -> jax.Array:
     # factorization, zero the pinv row (the exact pinv of a zero column).
     dg = jnp.diagonal(g, axis1=-2, axis2=-1)
     eps = jnp.finfo(g.dtype).eps
-    tol = jnp.max(dg, axis=-1, keepdims=True) * D * eps
+    dmax = jnp.max(dg, axis=-1, keepdims=True)
+    # matrix_rank-level tolerance in the SQUARED domain ((D*eps)^2, same
+    # as _whiten_chol): catches the exact/effective zeros without hard-
+    # dropping VALID weak directions — a norm-ratio-1e-3 column (squared
+    # 1e-6) is inside the chol envelope and must survive; the earlier
+    # D*eps squared-domain cut silently zeroed it, leaving canon_corrs /
+    # m_a / d reporting a direction the projectors no longer carried.
+    tol = dmax * (D * eps) ** 2
     eff_mask = col_mask * (dg > tol).astype(g.dtype)
-    g = g + jnp.eye(D, dtype=g.dtype) * (1.0 - eff_mask)[..., None, :]
+    mm = eff_mask[..., :, None] * eff_mask[..., None, :]
+    # identity-pad masked columns (their off-diagonals zeroed via mm, so
+    # the padded block never couples to the live one) and ridge the live
+    # diagonal (4e-7 relative, the _whiten_chol cap: cond(g) <= ~2.5e6,
+    # below the f32 Cholesky breakdown at ~1/eps). The ridge shrinks
+    # directions weaker than the cap instead of NaN-ing — at that
+    # conditioning the unregularized normal-equation solution is already
+    # at 100% relative error (accuracy ~ eps * cond(g)), so the shrinkage
+    # costs nothing the method could have delivered.
+    g = g * mm + jnp.eye(D, dtype=g.dtype) * (
+        (1.0 - eff_mask) + 4e-7 * dmax * eff_mask
+    )[..., None, :]
     L = jnp.linalg.cholesky(g)
     z = jax.scipy.linalg.solve_triangular(
         L, M.swapaxes(-1, -2), lower=True
@@ -282,12 +300,14 @@ def cca_align(
 
     # (..., Ka, Kb); masked dims are exact zero rows/cols
     g = hdot(q_a.swapaxes(-1, -2), q_b)
-    u, s, vt, s_keep = _svd_small(g, method)
+    # only method='svd' reaches here (gram/chol early-returned above), so
+    # every singular direction is kept — jnp.linalg.svd never zeroes
+    # u-columns the way the TPU gram route does
+    u, s, vt, _ = _svd_small(g, "svd")
     D = s.shape[-1]  # = min(Ka, Kb)
 
-    # both masks are prefix masks over s-descending order, so their
-    # product is the min-rank prefix
-    col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype) * s_keep
+    # prefix mask over the s-descending order: the min-rank leading block
+    col_mask = (jnp.arange(D) < d[..., None]).astype(L_a.dtype)
     m_a = hdot(pinv_ra, u[..., :, :D]) * col_mask[..., None, :]
     m_b = hdot(pinv_rb, vt.swapaxes(-1, -2)[..., :, :D]) * col_mask[..., None, :]
     corrs = jnp.clip(s[..., :D], 0.0, 1.0) * col_mask
@@ -296,8 +316,7 @@ def cca_align(
     pinv_mb = masked_pinv(m_b)
     proj_b_to_a = hdot(m_b, pinv_ma)
     proj_a_to_b = hdot(m_a, pinv_mb)
-    d_eff = jnp.sum(col_mask, axis=-1).astype(jnp.int32)
-    return CCAAlignment(m_a, m_b, corrs, d_eff, proj_b_to_a, proj_a_to_b)
+    return CCAAlignment(m_a, m_b, corrs, d, proj_b_to_a, proj_a_to_b)
 
 
 def _cca_align_gram(

@@ -81,6 +81,17 @@ def make_seq2seq_fold_trainer_fn(
         raise ValueError(
             f"rnn_impl must be 'scan' or 'pallas', got {rnn_impl!r}"
         )
+    if rnn_impl == "pallas" and mesh is not None:
+        # the fold axis is both the mesh-sharded axis and the Mosaic
+        # kernel's vmap-prepended grid dimension — GSPMD cannot partition
+        # that custom call, so it would replicate every fold's weights
+        # and activations on every chip, defeating the HBM-motivated
+        # chunking. Shard folds across chips at the driver level (one
+        # chunk per chip) with rnn_impl='pallas' per chip instead.
+        raise ValueError(
+            "rnn_impl='pallas' cannot be combined with a mesh: the "
+            "sharded fold axis is the Pallas kernel's grid dimension"
+        )
     sched = optax.linear_schedule(lr, lr * end_factor, decay_iters)
     tx = optax.chain(
         optax.clip_by_global_norm(clip),
@@ -181,9 +192,13 @@ def make_seq2seq_fold_trainer_fn(
         # rnn_impl='scan': keep the XLA scan GRU, whose small matmuls
         # batch ACROSS folds — at small per-fold sizes that beats the
         # kernel. rnn_impl='pallas': let the dispatch gate fire inside
-        # the vmap; at reference scale the batching rule's one-launch
-        # fold grid keeps the fused layer's stream savings (measured A/B
-        # in docs/ROUND3.md).
+        # the vmap (one launch, fold axis prepended to the kernel grid).
+        # Measured at reference scale (docs/ROUND3.md): ~36 ms/fold-epoch
+        # either way the kernel is launched (fold grid vs per-fold —
+        # MXU-bound, batching is cost-neutral), while the scan
+        # fold-parallel program reproducibly crashed the remote compile
+        # helper at that shape — at reference scale 'pallas' is the only
+        # fold-parallel option that compiles.
         from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
             disable_pallas_gru,
         )

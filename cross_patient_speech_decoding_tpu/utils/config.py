@@ -169,9 +169,12 @@ class TrainSeq2SeqConfig:
     # 'pallas' lets the fused-kernel dispatch gate fire under the fold
     # vmap (one launch, fold axis prepended to the kernel grid) — only
     # worthwhile when per-fold B*T clears ops.pallas_gru.worthwhile
-    # (reference scale: ~1.2k pooled trials x T=200). Measured A/B in
-    # docs/ROUND3.md. Ignored when fold_parallel=False (the sequential
-    # path always uses the normal dispatch gate).
+    # (reference scale: ~1.2k pooled trials x T=200). USE 'pallas' AT
+    # REFERENCE SCALE: measured ~36 ms/fold-epoch there, and the scan
+    # fold-parallel program reproducibly crashed the remote compile
+    # helper at that shape (docs/ROUND3.md). Ignored when
+    # fold_parallel=False (the sequential path always uses the normal
+    # dispatch gate).
     rnn_impl: str = "scan"
     # augmented copies of the pooled ALIGNED train rows (the reference's
     # post-alignment augmentation list, train_seq2seq.py:91:

@@ -377,3 +377,46 @@ def test_cca_gram_svd_zero_correlation_direction_finite():
         # excluded from the effective manifold dim
         np.testing.assert_array_equal(np.asarray(res.m_a)[:, 3], 0.0)
         assert int(res.d) == 3
+
+
+def test_fast_masked_pinv_weak_valid_column_survives():
+    """A VALID weak column (norm ratio 1e-3 of the largest — inside the
+    chol whitening envelope, cond(W) ~1.6e3) must NOT be silently
+    zeroed: the old D*eps squared-domain tolerance dropped it, making
+    the projectors inconsistent with canon_corrs/m_a/d. The ridge-
+    regularized guard shrinks instead of dropping — the row stays
+    within the method's documented accuracy, and exact-zero columns
+    still produce exact-zero rows."""
+    from cross_patient_speech_decoding_tpu.ops.cca import _fast_masked_pinv
+
+    rng = np.random.default_rng(3)
+    D = 32
+    M = rng.normal(size=(200, D)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=0, keepdims=True)
+    M[:, 5] *= 1e-3  # weak but valid
+    M[:, 11] = 0.0  # genuinely degenerate inside the mask
+    mask = jnp.ones((D,), jnp.float32)
+    p = np.asarray(_fast_masked_pinv(jnp.asarray(M), mask))
+    assert np.isfinite(p).all()
+    ref = np.linalg.pinv(M.astype(np.float64))
+    # the weak direction's row carries its signal (ridge shrinkage keeps
+    # it within ~35% of the true row at this conditioning, vs the old
+    # guard's all-zero row)
+    rel = np.linalg.norm(p[5] - ref[5]) / np.linalg.norm(ref[5])
+    assert rel < 0.35, rel
+    assert np.linalg.norm(p[5]) > 0.5 * np.linalg.norm(ref[5])
+    # exact-zero column -> exact-zero row, as before
+    np.testing.assert_array_equal(p[11], np.zeros(200, np.float32))
+    # well-conditioned directions reconstruct exactly: p @ M restricted
+    # to the strong block is the identity (their row-level deviation vs
+    # the float64 pinv is weak-direction coupling, bounded below)
+    others = [i for i in range(D) if i not in (5, 11)]
+    PM = p @ M.astype(np.float64)
+    np.testing.assert_allclose(
+        PM[others][:, others], np.eye(D)[others][:, others], atol=1e-4
+    )
+    row_rel = (
+        np.linalg.norm(p[others] - ref[others], axis=1)
+        / np.linalg.norm(ref[others], axis=1)
+    )
+    assert row_rel.max() < 0.05, row_rel.max()

@@ -125,3 +125,20 @@ def test_fold_trainer_rnn_impl_knob():
 
     with pytest.raises(ValueError, match="rnn_impl"):
         make_seq2seq_fold_trainer_fn(model, rnn_impl="cudnn")
+
+
+def test_fold_trainer_pallas_with_mesh_rejected():
+    """rnn_impl='pallas' + mesh must raise: the sharded fold axis is the
+    Pallas kernel's vmap-prepended grid dimension, which GSPMD cannot
+    partition."""
+    import pytest
+
+    from cross_patient_speech_decoding_tpu.train.fold_parallel import (
+        make_seq2seq_fold_trainer_fn,
+    )
+
+    model, _ = _setup(seed=4, n_folds=2)
+    with pytest.raises(ValueError, match="mesh"):
+        make_seq2seq_fold_trainer_fn(
+            model, rnn_impl="pallas", mesh=make_mesh(8)
+        )
