@@ -12,6 +12,11 @@ Extra keys:
   `train_seq2seq.py:100-147`), on the Pallas fused-GRU path on TPU;
 - ``seq2seq_mfu`` — analytic model FLOPs/s over the chip's nominal
   bf16-class MXU peak (matching ``_chip_peak``);
+- ``ctc_samples_per_sec`` — RealtimeRNN CTC train-step throughput at the
+  reference's pooled production scale (B=2000 pooled trials, T=600 bins
+  -> 147 windows of width 14/stride 4, hidden 512 x 3 layers, 11
+  classes; `train_ctc_rnn.py` + `realtime_datamodule.py` geometry), the
+  fig_5 headline workload;
 - ``realtime_amortized_ms_per_bin`` — scan-amortized streaming decode
   latency (SURVEY.md §3.5 path);
 - ``realtime_p50_ms`` / ``realtime_max_ms`` — honest per-step latency
@@ -190,6 +195,57 @@ def bench_seq2seq():
     return B / dt, (flops / dt) / _chip_peak()
 
 
+def bench_ctc():
+    """CTC train-step throughput at the reference's pooled production
+    scale (the fig_5 experiment regime: ~2000 pooled-aligned trials of
+    600 bins / ~60 latent channels after PCA+CCA, hidden 512 x 3, labels
+    2 sil + 3 phon + 2 sil, `scripts/train_ctc_rnn.py` geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_ctc_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import make_optimizer
+
+    B, T, C, H, NL, L = 2000, 600, 60, 512, 3, 7
+    # features generated ON DEVICE: (2000, 600, 60) f32 is 288 MB — a
+    # ~10 min H2D upload through the 30 MB/s tunnel if built on host
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (B, T, C), jnp.float32)
+    )(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.concatenate(
+        [np.full((B, 2), 10), rng.integers(1, 10, (B, 3)),
+         np.full((B, 2), 10)], axis=1,
+    ).astype(np.int32))
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+
+    model = RealtimeRNN(hidden=H, n_layers=NL, n_classes=11, dropout=0.3,
+                        win_size=14, stride=4)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+        False,
+    )
+    tx = make_optimizer(1e-3, 1e-5, 100)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_ctc_train_step(model, tx))
+    key = jax.random.key(3)
+    batch = (x, y, il, ll)
+    state, m = _with_compile_retry(step, state, batch, key)
+    _ = float(m["loss"])
+    N = 5
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = step(state, batch, key)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / N
+    return B / dt
+
+
 def bench_realtime():
     from cross_patient_speech_decoding_tpu.cli.experiments import (
         run_realtime_sim,
@@ -214,6 +270,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     fits_per_sec, vs_base = bench_alignment()
     s2s, mfu = bench_seq2seq()
+    ctc = bench_ctc()
     rt = bench_realtime()
     print(
         json.dumps(
@@ -224,6 +281,7 @@ def main():
                 "vs_baseline": round(vs_base, 3),
                 "seq2seq_samples_per_sec": round(s2s, 1),
                 "seq2seq_mfu": round(mfu, 4),
+                "ctc_samples_per_sec": round(ctc, 1),
                 "realtime_amortized_ms_per_bin": round(
                     rt["amortized_ms"], 4
                 ),
