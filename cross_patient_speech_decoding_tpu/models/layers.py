@@ -36,6 +36,11 @@ class FusedGRU(nn.Module):
     hidden: int
     reverse: bool = False
     precision: Optional[jax.lax.Precision] = None  # None = MXU-fast default
+    # set False when x is raw data with no trainable upstream (the CTC
+    # first layer): the Pallas backward then skips the dx matmul and the
+    # (T, B, F) dx stream entirely. The scan path is unaffected (XLA
+    # DCEs the unused dx there on its own).
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None,
@@ -70,8 +75,17 @@ class FusedGRU(nn.Module):
             # fully-fused layer (ops/pallas_gru.py): the input projection
             # happens inside the time sweep — no (B, T, 3H) stream — and
             # weights + h stay VMEM-resident; custom VJP
+            #
+            # data inputs (input_grad=False) stream in bf16: DEFAULT
+            # matmul precision truncates operands to bf16 inside the MXU
+            # anyway, so the kernel's gi/dW dots are bit-identical while
+            # the (T, B, F) HBM stream (written by the window reformat,
+            # read by fwd AND the recomputing bwd) halves. XLA fuses the
+            # cast into the producer, so x materializes bf16 directly.
+            xk = x if self.input_grad else x.astype(jnp.bfloat16)
             hs = pallas_gru.gru_layer(
-                x.swapaxes(0, 1), h0, wi, bi, wh, bh, self.reverse
+                xk.swapaxes(0, 1), h0, wi, bi, wh, bh, self.reverse,
+                input_grad=self.input_grad,
             )
             h_last = hs[0] if self.reverse else hs[-1]
             return hs.swapaxes(0, 1), h_last
@@ -146,6 +160,9 @@ class StackedRNN(nn.Module):
     dropout: float = 0.0
     bidirectional: bool = False
     cell: str = "gru"  # 'gru' | 'lstm'
+    # False when the stack's input is raw data (RealtimeRNN's windowed
+    # features, SimpleGRU): layer 0's backward skips its dx stream
+    input_grad: bool = True
 
     @nn.compact
     def __call__(
@@ -160,6 +177,10 @@ class StackedRNN(nn.Module):
         out = x
         h0_is_tuple = isinstance(h0, tuple)
         for layer in range(self.n_layers):
+            # only layer 0 consumes the stack input; deeper layers' inputs
+            # are lower-layer activations and always need cotangents
+            ig = self.input_grad if layer == 0 else True
+            cell_kw = {"input_grad": ig} if self.cell == "gru" else {}
             if h0 is None:
                 h0_f = None
             elif h0_is_tuple:
@@ -190,6 +211,7 @@ class StackedRNN(nn.Module):
                     z if h0_f is None else h0_f,
                     z if h0_b is None else h0_b,
                     *pf, *pb,
+                    input_grad=ig,
                 )
                 fwd, bwd = hs_f.swapaxes(0, 1), hs_b.swapaxes(0, 1)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
@@ -199,7 +221,9 @@ class StackedRNN(nn.Module):
                         out, deterministic=deterministic
                     )
                 continue
-            fwd, last_f = Cell(self.hidden, name=f"fwd{layer}")(out, h0_f)
+            fwd, last_f = Cell(self.hidden, name=f"fwd{layer}", **cell_kw)(
+                out, h0_f
+            )
             if self.bidirectional:
                 if h0 is None:
                     h0_b = None
@@ -212,9 +236,9 @@ class StackedRNN(nn.Module):
                 if (self.cell == "lstm" and h0_b is not None
                         and not h0_is_tuple):
                     h0_b = (h0_b, jnp.zeros_like(h0_b))
-                bwd, last_b = Cell(self.hidden, reverse=True, name=f"bwd{layer}")(
-                    out, h0_b
-                )
+                bwd, last_b = Cell(
+                    self.hidden, reverse=True, name=f"bwd{layer}", **cell_kw
+                )(out, h0_b)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
                 lasts.extend([last_f, last_b])
             else:

@@ -81,6 +81,11 @@ class RealtimeRNN(nn.Module):
             self.n_layers,
             dropout=self.dropout,
             bidirectional=self.bidirectional,
+            # the stack consumes windowed DATA (no trainable frontend):
+            # layer 0's Pallas backward skips the ~(T, B, win*C) dx
+            # stream + matmul — measured ~1 GB of pure-waste HBM writes
+            # at the fig_5 production scale
+            input_grad=False,
         )
         self.head = nn.Dense(
             self.n_classes,

@@ -165,9 +165,10 @@ class SimpleGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        out, _ = StackedRNN(self.hidden, self.n_layers, dropout=self.dropout)(
-            x, deterministic=deterministic
-        )
+        out, _ = StackedRNN(
+            self.hidden, self.n_layers, dropout=self.dropout,
+            input_grad=False,  # GRU directly on the data tensor
+        )(x, deterministic=deterministic)
         return nn.Dense(self.num_classes)(out[:, -1, :])
 
 

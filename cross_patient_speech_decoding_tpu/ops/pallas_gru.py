@@ -87,7 +87,11 @@ def _fwd_kernel(x_ref, h0_ref, wi_ref, wh_ref, b_ref, hs_ref, h_scr):
     h = h_scr[:]
     Hp = h.shape[1]
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
-    gi = dot(x_ref[0], wi_ref[:]) + b_ref[0]  # (BB, 3Hp): x W_in + b_in
+    # bf16 data inputs (FusedGRU input_grad=False) upcast in VMEM; the
+    # MXU's DEFAULT-precision pass truncates back to bf16, so the dot is
+    # bit-identical to an f32 stream at half the HBM traffic
+    xt = x_ref[0].astype(jnp.float32)
+    gi = dot(xt, wi_ref[:]) + b_ref[0]  # (BB, 3Hp): x W_in + b_in
     gh = dot(h, wh_ref[:]) + b_ref[1]  # (BB, 3Hp): h W_h + b_h
     r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
     z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
@@ -155,7 +159,7 @@ def _bifwd_kernel(xf_ref, xb_ref, h0_ref, wi_ref, wh_ref, b_ref,
     Hp = h_scr.shape[-1]
     for d, x_ref, out_ref in ((0, xf_ref, hsf_ref), (1, xb_ref, hsb_ref)):
         h = h_scr[d]
-        gi = dot(x_ref[0], wi_ref[d]) + b_ref[d, 0]
+        gi = dot(x_ref[0].astype(jnp.float32), wi_ref[d]) + b_ref[d, 0]
         gh = dot(h, wh_ref[d]) + b_ref[d, 1]
         r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
         z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
@@ -211,7 +215,15 @@ def _gru_bidir_forward(x, h0, wi, wh, b, *, bb_cap: int):
 
 
 def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
-                dx_ref, dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr):
+                *out_refs, need_dx: bool):
+    if need_dx:
+        dx_ref, dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr = out_refs
+    else:
+        # input is data (no cotangent consumer): skip the dx matmul and
+        # the whole (T, B, F) dx stream — at CTC production scale that is
+        # ~1 GB of HBM writes + 2*B*T*3Hp*F FLOPs of pure waste, since a
+        # pallas_call's outputs cannot be dead-code-eliminated by XLA
+        dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr = out_refs
     bidx = pl.program_id(0)
     t = pl.program_id(1)
     T = pl.num_programs(1)
@@ -234,7 +246,7 @@ def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
         a, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    xt = x_ref[0]
+    xt = x_ref[0].astype(jnp.float32)
     hp = hprev_ref[0]
     Hp = hp.shape[1]
     # recompute the gates (cheaper than a (B, T, 3H) residual stream)
@@ -254,7 +266,8 @@ def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
     dgi = jnp.concatenate([dr, dz, dn], axis=1)  # d(x W_in + b_in)
     dgh = jnp.concatenate([dr, dz, dgn], axis=1)  # d(h W_h + b_h)
 
-    dx_ref[0] = dotT(dgi, wi_ref[:])
+    if need_dx:
+        dx_ref[0] = dotT(dgi, wi_ref[:])
     dh_new = dh * z + dotT(dgh, wh_ref[:])
     dh_scr[:] = dh_new
 
@@ -268,7 +281,9 @@ def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
     db_ref[1] += jnp.sum(dgh, axis=0)
 
 
-def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int):
+def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
+                  need_dx: bool = True):
+    """Returns (dx | None, dh0, dwi, dwh, db); dx is None iff not need_dx."""
     T, B, F = x.shape
     Hp = wh.shape[0]
     # smaller tiles than forward: the backward holds the dW accumulators,
@@ -277,8 +292,15 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int):
     const = lambda nd: (lambda bi, ti: (0,) * nd)
     # time runs backward through the data: flip the effective direction
     idx = _tidx(not reverse, T)
-    return pl.pallas_call(
-        _bwd_kernel,
+    dx_specs = (
+        [pl.BlockSpec((1, BB, F), idx, memory_space=pltpu.VMEM)]
+        if need_dx else []
+    )
+    dx_shapes = (
+        [jax.ShapeDtypeStruct((T, B, F), jnp.float32)] if need_dx else []
+    )
+    out = pl.pallas_call(
+        partial(_bwd_kernel, need_dx=need_dx),
         grid=(B // BB, T),
         in_specs=[
             pl.BlockSpec((1, BB, F), idx, memory_space=pltpu.VMEM),
@@ -288,16 +310,14 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int):
             pl.BlockSpec((Hp, 3 * Hp), const(2), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 3 * Hp), const(2), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, BB, F), idx, memory_space=pltpu.VMEM),
+        out_specs=dx_specs + [
             pl.BlockSpec((BB, Hp), lambda bi, ti: (bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, 3 * Hp), const(2), memory_space=pltpu.VMEM),
             pl.BlockSpec((Hp, 3 * Hp), const(2), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 3 * Hp), const(2), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, F), jnp.float32),
+        out_shape=dx_shapes + [
             jax.ShapeDtypeStruct((B, Hp), jnp.float32),
             jax.ShapeDtypeStruct((F, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
@@ -309,6 +329,9 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int):
         ),
         interpret=_interpret(),
     )(x, hprev, dhs, wi, wh, b)
+    if not need_dx:
+        return (None, *out)
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -324,7 +347,7 @@ def _pad_gates(w, H: int, Hp: int):
 
 
 def gru_layer(x, h0, wi, bi, wh, bh, reverse: bool = False,
-              bb_cap: int = 256):
+              bb_cap: int = 256, input_grad: bool = True):
     """Fused GRU layer over time-major inputs.
 
     Args:
@@ -336,6 +359,11 @@ def gru_layer(x, h0, wi, bi, wh, bh, reverse: bool = False,
         bh: (3H,) recurrent bias.
         reverse: process time back-to-front (bidirectional encoder);
             outputs stay in the original time order.
+        input_grad: set False when ``x`` is raw data with no upstream
+            parameters (the CTC first layer): the backward kernel then
+            skips the dx matmul and never writes the (T, B, F) dx stream
+            (XLA cannot DCE an output of a pallas_call). The returned x
+            cotangent is a symbolic-zero array.
 
     Returns:
         hs: (T, B, H) hidden states (h_T at index T-1, or index 0 when
@@ -361,22 +389,23 @@ def gru_layer(x, h0, wi, bi, wh, bh, reverse: bool = False,
         bh = _pad_gates(bh, H, Hp)
         h0 = jnp.pad(h0, ((0, 0), (0, Hp - H)))
     b = jnp.stack([bi, bh])
-    hs = _gru_core(x, h0, wi, wh, b, reverse, bb_cap)
+    hs = _gru_core(x, h0, wi, wh, b, reverse, bb_cap, input_grad)
     return hs[:, :B, :H]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _gru_core(x, h0, wi, wh, b, reverse: bool, bb_cap: int):
-    hs, _ = _gru_fwd_rule(x, h0, wi, wh, b, reverse, bb_cap)
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gru_core(x, h0, wi, wh, b, reverse: bool, bb_cap: int,
+              input_grad: bool = True):
+    hs, _ = _gru_fwd_rule(x, h0, wi, wh, b, reverse, bb_cap, input_grad)
     return hs
 
 
-def _gru_fwd_rule(x, h0, wi, wh, b, reverse, bb_cap):
+def _gru_fwd_rule(x, h0, wi, wh, b, reverse, bb_cap, input_grad):
     hs = _gru_forward(x, h0, wi, wh, b, reverse=reverse, bb_cap=bb_cap)
     return hs, (x, h0, wi, wh, b, hs)
 
 
-def _gru_bwd_rule(reverse, bb_cap, res, dhs):
+def _gru_bwd_rule(reverse, bb_cap, input_grad, res, dhs):
     x, h0, wi, wh, b, hs = res
     # h_{t-1} stream in computation order: shift hs one step toward the
     # start of the sweep and inject h0 at the first processed step
@@ -385,8 +414,16 @@ def _gru_bwd_rule(reverse, bb_cap, res, dhs):
     else:
         hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     dx, dh0, dwi, dwh, db = _gru_backward(
-        x, hprev, dhs, wi, wh, b, reverse=reverse, bb_cap=bb_cap
+        x, hprev, dhs, wi, wh, b, reverse=reverse, bb_cap=bb_cap,
+        need_dx=input_grad,
     )
+    if dx is None:
+        # custom_vjp must return a full cotangent structure; this zeros
+        # array has no consumer (input_grad=False promises x is data) and
+        # is DCE'd by XLA
+        dx = jnp.zeros_like(x)
+    else:
+        dx = dx.astype(x.dtype)  # kernel emits f32; match a bf16 primal
     return dx, dh0, dwi, dwh, db
 
 
@@ -394,7 +431,8 @@ _gru_core.defvjp(_gru_fwd_rule, _gru_bwd_rule)
 
 
 def gru_layer_bidir(x, h0_f, h0_b, wi_f, bi_f, wh_f, bh_f,
-                    wi_b, bi_b, wh_b, bh_b, bb_cap: int = 256):
+                    wi_b, bi_b, wh_b, bh_b, bb_cap: int = 256,
+                    input_grad: bool = True):
     """Fused bidirectional GRU layer over time-major inputs.
 
     One kernel advances BOTH directions per time step (see
@@ -431,34 +469,38 @@ def gru_layer_bidir(x, h0_f, h0_b, wi_f, bi_f, wh_f, bh_f,
     wi = jnp.stack([wi_f, wi_b])
     wh = jnp.stack([wh_f, wh_b])
     b = jnp.stack([jnp.stack([bi_f, bh_f]), jnp.stack([bi_b, bh_b])])
-    hs_f, hs_b = _gru_bidir_core(x, h0, wi, wh, b, bb_cap)
+    hs_f, hs_b = _gru_bidir_core(x, h0, wi, wh, b, bb_cap, input_grad)
     return hs_f[:, :B, :H], hs_b[:, :B, :H]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _gru_bidir_core(x, h0, wi, wh, b, bb_cap: int):
-    out, _ = _gru_bidir_fwd_rule(x, h0, wi, wh, b, bb_cap)
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gru_bidir_core(x, h0, wi, wh, b, bb_cap: int, input_grad: bool = True):
+    out, _ = _gru_bidir_fwd_rule(x, h0, wi, wh, b, bb_cap, input_grad)
     return out
 
 
-def _gru_bidir_fwd_rule(x, h0, wi, wh, b, bb_cap):
+def _gru_bidir_fwd_rule(x, h0, wi, wh, b, bb_cap, input_grad):
     hs_f, hs_b = _gru_bidir_forward(x, h0, wi, wh, b, bb_cap=bb_cap)
     return (hs_f, hs_b), (x, h0, wi, wh, b, hs_f, hs_b)
 
 
-def _gru_bidir_bwd_rule(bb_cap, res, dout):
+def _gru_bidir_bwd_rule(bb_cap, input_grad, res, dout):
     x, h0, wi, wh, b, hs_f, hs_b = res
     dhs_f, dhs_b = dout
     hprev_f = jnp.concatenate([h0[0][None], hs_f[:-1]], axis=0)
     dx_f, dh0_f, dwi_f, dwh_f, db_f = _gru_backward(
-        x, hprev_f, dhs_f, wi[0], wh[0], b[0], reverse=False, bb_cap=bb_cap
+        x, hprev_f, dhs_f, wi[0], wh[0], b[0], reverse=False, bb_cap=bb_cap,
+        need_dx=input_grad,
     )
     hprev_b = jnp.concatenate([hs_b[1:], h0[1][None]], axis=0)
     dx_b, dh0_b, dwi_b, dwh_b, db_b = _gru_backward(
-        x, hprev_b, dhs_b, wi[1], wh[1], b[1], reverse=True, bb_cap=bb_cap
+        x, hprev_b, dhs_b, wi[1], wh[1], b[1], reverse=True, bb_cap=bb_cap,
+        need_dx=input_grad,
     )
+    dx = (jnp.zeros_like(x) if dx_f is None
+          else (dx_f + dx_b).astype(x.dtype))
     return (
-        dx_f + dx_b,
+        dx,
         jnp.stack([dh0_f, dh0_b]),
         jnp.stack([dwi_f, dwi_b]),
         jnp.stack([dwh_f, dwh_b]),

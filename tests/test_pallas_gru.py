@@ -206,3 +206,84 @@ def test_vmap_over_per_instance_weights_matches_reference():
             np.testing.assert_allclose(
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
             )
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_input_grad_false_param_grads_match(reverse):
+    """input_grad=False (the CTC first layer: x is data) must leave every
+    parameter cotangent bit-identical to the full backward — only the dx
+    output is skipped — and must return exactly-zero x cotangents."""
+    args = _case(seed=11)
+
+    def loss(ig):
+        return lambda *a: jnp.sum(
+            jnp.sin(gru_layer(*a, reverse, input_grad=ig))
+        )
+
+    g_full = jax.grad(loss(True), argnums=tuple(range(6)))(*args)
+    g_nodx = jax.grad(loss(False), argnums=tuple(range(6)))(*args)
+    # dx is declared unusable: the rule returns symbolic zeros
+    assert float(jnp.abs(g_nodx[0]).max()) == 0.0
+    assert float(jnp.abs(g_full[0]).max()) > 0.0  # discriminates the knob
+    for a, b in zip(g_nodx[1:], g_full[1:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_input_grad_false_bidir():
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_bidir,
+    )
+
+    rng = np.random.default_rng(7)
+    T, B, F, H = 5, 16, 9, 24
+    x = jnp.asarray(rng.normal(size=(T, B, F)), jnp.float32)
+    h0f = jnp.asarray(rng.normal(size=(B, H)) * 0.2, jnp.float32)
+    h0b = jnp.asarray(rng.normal(size=(B, H)) * 0.2, jnp.float32)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    params = (mk(F, 3 * H), mk(3 * H), mk(H, 3 * H), mk(3 * H),
+              mk(F, 3 * H), mk(3 * H), mk(H, 3 * H), mk(3 * H))
+    args = (x, h0f, h0b, *params)
+    n = len(args)
+
+    def loss(ig):
+        def f(*a):
+            hf, hb = gru_layer_bidir(*a, input_grad=ig)
+            return jnp.sum(jnp.sin(hf)) + jnp.sum(jnp.cos(hb))
+
+        return f
+
+    g_full = jax.grad(loss(True), argnums=tuple(range(n)))(*args)
+    g_nodx = jax.grad(loss(False), argnums=tuple(range(n)))(*args)
+    assert float(jnp.abs(g_nodx[0]).max()) == 0.0
+    assert float(jnp.abs(g_full[0]).max()) > 0.0
+    for a, b in zip(g_nodx[1:], g_full[1:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_data_input_stream():
+    """bf16 x (the input_grad=False data stream): forward matches the
+    scan oracle on the same bf16-rounded input, and param grads stay
+    finite/consistent with the f32-stream kernel at bf16 tolerance."""
+    x, h0, wi, bi, wh, bh = _case(seed=21)
+    xb = x.astype(jnp.bfloat16)
+    hs_p = gru_layer(xb, h0, wi, bi, wh, bh, False, input_grad=False)
+    assert hs_p.dtype == jnp.float32
+    hs_r = gru_layer_reference(
+        xb.astype(jnp.float32), h0, wi, bi, wh, bh, False
+    )
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=2e-6)
+
+    def loss(xx, ig):
+        return jnp.sum(jnp.sin(
+            gru_layer(xx, h0, wi, bi, wh, bh, False, input_grad=ig)
+        ))
+
+    g_b = jax.grad(lambda w: jnp.sum(jnp.sin(
+        gru_layer(xb, h0, w, bi, wh, bh, False, input_grad=False))))(wi)
+    g_f = jax.grad(lambda w: jnp.sum(jnp.sin(
+        gru_layer(x, h0, w, bi, wh, bh, False, input_grad=False))))(wi)
+    # same data rounded once to bf16: grads agree to bf16 input tolerance
+    scale = max(float(jnp.abs(g_f).max()), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g_b) / scale, np.asarray(g_f) / scale, atol=5e-3
+    )
