@@ -1,5 +1,6 @@
-"""Headline benchmarks, driver-recorded: ONE JSON line with all three
-BASELINE.md metrics plus an MFU estimate.
+"""Headline benchmarks, driver-recorded: ONE JSON line with all four
+headline workloads (alignment, seq2seq, CTC, realtime) plus an MFU
+estimate.
 
 Primary metric (value/vs_baseline, unchanged from round 1): batched CCA
 alignment fits/sec vs the sequential float64 numpy oracle — the

@@ -206,8 +206,10 @@ class StackedRNN(nn.Module):
                     out, return_params=True
                 )
                 z = jnp.zeros((B_, self.hidden), out.dtype)
+                # data inputs stream bf16, mirroring FusedGRU's path
+                out_k = out if ig else out.astype(jnp.bfloat16)
                 hs_f, hs_b = pallas_gru.gru_layer_bidir(
-                    out.swapaxes(0, 1),
+                    out_k.swapaxes(0, 1),
                     z if h0_f is None else h0_f,
                     z if h0_b is None else h0_b,
                     *pf, *pb,

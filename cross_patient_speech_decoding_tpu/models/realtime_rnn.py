@@ -68,6 +68,12 @@ class RealtimeRNN(nn.Module):
     stride: int = 4
     bidirectional: bool = False
     blank: int = 0
+    # the stack input is windowed DATA in every shipped driver, so the
+    # Pallas backward skips its dx stream and streams it bf16 (exact
+    # under DEFAULT MXU precision). Set True if composing a trainable
+    # frontend (or differentiating w.r.t. x, e.g. saliency maps): with
+    # False, input cotangents are exact ZEROS on the TPU Pallas path.
+    input_grad: bool = False
 
     def setup(self):
         n_dir = 2 if self.bidirectional else 1
@@ -81,11 +87,10 @@ class RealtimeRNN(nn.Module):
             self.n_layers,
             dropout=self.dropout,
             bidirectional=self.bidirectional,
-            # the stack consumes windowed DATA (no trainable frontend):
             # layer 0's Pallas backward skips the ~(T, B, win*C) dx
-            # stream + matmul — measured ~1 GB of pure-waste HBM writes
-            # at the fig_5 production scale
-            input_grad=False,
+            # stream + matmul when input_grad=False — measured ~1 GB of
+            # pure-waste HBM writes at the fig_5 production scale
+            input_grad=self.input_grad,
         )
         self.head = nn.Dense(
             self.n_classes,

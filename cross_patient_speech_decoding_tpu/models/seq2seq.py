@@ -162,12 +162,16 @@ class SimpleGRU(nn.Module):
     num_classes: int
     n_layers: int = 1
     dropout: float = 0.3
+    # GRU directly on the data tensor: layer 0 skips its dx stream on
+    # the Pallas path. Set True when differentiating w.r.t. x (input
+    # cotangents are exact zeros on TPU otherwise).
+    input_grad: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out, _ = StackedRNN(
             self.hidden, self.n_layers, dropout=self.dropout,
-            input_grad=False,  # GRU directly on the data tensor
+            input_grad=self.input_grad,
         )(x, deterministic=deterministic)
         return nn.Dense(self.num_classes)(out[:, -1, :])
 

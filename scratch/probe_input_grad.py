@@ -23,10 +23,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
 import cross_patient_speech_decoding_tpu.ops.pallas_gru as pg
 from cross_patient_speech_decoding_tpu.models import RealtimeRNN
-from cross_patient_speech_decoding_tpu.ops.ctc import ctc_loss_mean
-from cross_patient_speech_decoding_tpu.models.realtime_rnn import (
-    adjusted_input_lengths,
-)
 from cross_patient_speech_decoding_tpu.train import (
     create_train_state,
     make_ctc_train_step,

@@ -273,11 +273,6 @@ def test_bf16_data_input_stream():
     )
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=2e-6)
 
-    def loss(xx, ig):
-        return jnp.sum(jnp.sin(
-            gru_layer(xx, h0, wi, bi, wh, bh, False, input_grad=ig)
-        ))
-
     g_b = jax.grad(lambda w: jnp.sum(jnp.sin(
         gru_layer(xb, h0, w, bi, wh, bh, False, input_grad=False))))(wi)
     g_f = jax.grad(lambda w: jnp.sum(jnp.sin(
