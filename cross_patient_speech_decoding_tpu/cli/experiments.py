@@ -33,6 +33,7 @@ from cross_patient_speech_decoding_tpu.data.loaders import (
 )
 from cross_patient_speech_decoding_tpu.data.splits import (
     repeated_stratified_kfold_masks,
+    stratified_kfold_masks,
     stratified_train_subsample_masks,
     train_val_test_masks,
 )
@@ -1672,6 +1673,87 @@ def run_prewarm_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True):
 
 # ---------------------------------------------------------------- tune ctc ----
 
+def _tune_prep_cfg(cfg: TuneCTCConfig):
+    """TrainCTCConfig mirror of a tune config (shared by the holdout and
+    CV data paths)."""
+    from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
+
+    context = "aligned" if cfg.align_train else (
+        "unaligned" if cfg.pool_train else "patient"
+    )
+    return TrainCTCConfig(
+        data=cfg.data, target_pt=cfg.target_pt, train_pts=cfg.train_pts,
+        only_train_pts=cfg.only_train_pts, zscore=cfg.zscore,
+        tw_orig=cfg.tw_orig, tw_select=cfg.tw_select, n_sil=cfg.n_sil,
+        pca_path=cfg.pca_path, cca_path=cfg.cca_path,
+        align_pt=cfg.align_pt, context=context, seed=cfg.seed,
+        n_components=cfg.n_components,
+        synth_patients=cfg.synth_patients,
+        synth_trials=cfg.synth_trials, synth_T=cfg.synth_T,
+    )
+
+
+def _label_seq_class_ids(y) -> np.ndarray:
+    """Integer class per label SEQUENCE row (stratification key — the
+    reference's select_cv stratifies on the sequence string)."""
+    enc = encode_label_sequences(np.asarray(y))
+    return to_class_ids(enc, np.unique(enc))[0]
+
+
+def _tune_cv_trainer(cfg: TuneCTCConfig, rng: np.random.Generator, F: int):
+    """The reference CV trainable (train_func_cv, tune_ctc_rnn.py:550-634):
+    per-trial k-fold CV with fold-mean val PER.
+
+    Fold membership is stratified over the TARGET label sequences; cross
+    patients' rows are training data in every fold (the
+    CTCHeldOutTargetValCVDataModule contract). Synthetic pooled contexts
+    fit PCA/CCA per fold on that fold's target-train rows — the leak-free
+    AlignCV semantics (tune_ctc_rnn_align) — producing a per-fold feature
+    stack; file data uses precomputed (fold-invariant) transforms.
+    """
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_cv_bucket_trainer,
+    )
+
+    pooled = cfg.align_train or cfg.pool_train
+    if pooled or cfg.data != "synthetic":
+        prep_cfg = _tune_prep_cfg(cfg)
+        if cfg.data == "synthetic":
+            cls = _label_seq_class_ids(_synthetic_ctc_cfg(cfg)[0][1])
+            f_tr, f_va = stratified_kfold_masks(cls, F, rng)
+            fold_sets = [
+                _prep_ctc_context(prep_cfg, rng, tar_train_mask=f_tr[f])[0]
+                for f in range(F)
+            ]
+            # per-fold transforms -> per-fold pooled features (F, N, T, C)
+            x = jnp.stack([
+                jnp.concatenate([jnp.asarray(d[0]) for d in ds])
+                for ds in fold_sets
+            ])
+            ds0 = fold_sets[0]
+        else:
+            ds0, _, _ = _prep_ctc_context(prep_cfg, rng)
+            cls = _label_seq_class_ids(ds0[0][1])
+            f_tr, f_va = stratified_kfold_masks(cls, F, rng)
+            x = jnp.concatenate([jnp.asarray(d[0]) for d in ds0])
+        y = np.concatenate([np.asarray(d[1]) for d in ds0])
+        il = np.concatenate([np.asarray(d[2]) for d in ds0])
+        ll = np.concatenate([np.asarray(d[3]) for d in ds0])
+        n_cross = len(y) - len(cls)
+        w_tr = np.concatenate([f_tr, np.ones((F, n_cross))], axis=1)
+        w_va = np.concatenate([f_va, np.zeros((F, n_cross))], axis=1)
+    else:
+        X, y, il, ll = _synthetic_ctc_cfg(cfg)[0]
+        cls = _label_seq_class_ids(y)
+        w_tr, w_va = stratified_kfold_masks(cls, F, rng)
+        x = jnp.asarray(X)
+        y, il, ll = np.asarray(y), np.asarray(il), np.asarray(ll)
+    batch = (x, jnp.asarray(y), jnp.asarray(il), jnp.asarray(ll))
+    return make_ctc_cv_bucket_trainer(
+        batch, w_tr, w_va, n_classes=11, seed=cfg.seed
+    )
+
+
 def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
     from cross_patient_speech_decoding_tpu.sweep import (
         Manifest,
@@ -1685,24 +1767,13 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
 
     rng = np.random.default_rng(cfg.seed)
     pooled = cfg.align_train or cfg.pool_train
-    if pooled or cfg.data != "synthetic":
+    if cfg.cv_folds > 0:
+        # reference CV trainable (train_func_cv): fold-mean val PER
+        trainer = _tune_cv_trainer(cfg, rng, int(cfg.cv_folds))
+    elif pooled or cfg.data != "synthetic":
         # tune_ctc_rnn[_align] analog: precomputed transforms (pca_path) or
         # on-the-fly PCA + CCA pooling; file or synthetic data
-        from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
-
-        context = "aligned" if cfg.align_train else (
-            "unaligned" if cfg.pool_train else "patient"
-        )
-        prep_cfg = TrainCTCConfig(
-            data=cfg.data, target_pt=cfg.target_pt, train_pts=cfg.train_pts,
-            only_train_pts=cfg.only_train_pts, zscore=cfg.zscore,
-            tw_orig=cfg.tw_orig, tw_select=cfg.tw_select, n_sil=cfg.n_sil,
-            pca_path=cfg.pca_path, cca_path=cfg.cca_path,
-            align_pt=cfg.align_pt, context=context, seed=cfg.seed,
-            n_components=cfg.n_components,
-            synth_patients=cfg.synth_patients,
-            synth_trials=cfg.synth_trials, synth_T=cfg.synth_T,
-        )
+        prep_cfg = _tune_prep_cfg(cfg)
         if cfg.data == "synthetic":
             # split FIRST so the pooled PCA/CCA fit excludes the val rows
             # (the leak-free prep; prep consumes no rng on this path)
@@ -1738,7 +1809,10 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
         train = tuple(jnp.asarray(a[tr_i]) for a in (X, y, il, ll))
         val = tuple(jnp.asarray(a[va_i]) for a in (X, y, il, ll))
 
-    trainer = make_ctc_bucket_trainer(train, val, n_classes=11, seed=cfg.seed)
+    if cfg.cv_folds <= 0:
+        trainer = make_ctc_bucket_trainer(
+            train, val, n_classes=11, seed=cfg.seed
+        )
     Path(cfg.manifest).parent.mkdir(parents=True, exist_ok=True)
     rungs = tuple(int(r) for r in cfg.rungs.split(","))
     if cfg.sampler == "tpe":

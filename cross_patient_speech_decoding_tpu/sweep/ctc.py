@@ -59,9 +59,22 @@ def make_ctc_cv_bucket_trainer(
     the B trials trains F fold models (B*F programs in one vmap); the
     returned metric per trial is the fold-mean val PER — the reference's
     CV trainable contract.
+
+    ``x`` may be (N, T, C) — one array shared by every fold (precomputed
+    transforms / no fitting, CTCHeldOutTargetValCVDataModule) — or
+    (F, N, T, C): per-fold feature stacks for the leak-free on-the-fly
+    PCA+CCA contexts (CTCHeldOutTargetValAlignCVDataModule,
+    tune_ctc_rnn_align), where each fold's transforms were fit on that
+    fold's train rows only. Labels/lengths are fold-invariant.
     """
     x, y, il, ll = data_batch
     F = fold_train_masks.shape[0]
+    per_fold_x = x.ndim == 4
+    if per_fold_x and x.shape[0] != F:
+        raise ValueError(
+            f"per-fold x has {x.shape[0]} folds, masks have {F}"
+        )
+    x_one = x[0] if per_fold_x else x
 
     def train_bucket(cfgs: Sequence[dict], epochs: int):
         # trial/fold models ride a vmap axis: keep the XLA scan GRU, whose
@@ -89,13 +102,15 @@ def make_ctc_cv_bucket_trainer(
         )
         w_tr = jnp.tile(jnp.asarray(fold_train_masks, jnp.float32), (B, 1))
         w_va = jnp.tile(jnp.asarray(fold_val_masks, jnp.float32), (B, 1))
+        # flattened (trial, fold) axis is fold-fastest (matches the tiles)
+        fold_ids = jnp.tile(jnp.arange(F), B)
 
         tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=1e-3, weight_decay=1e-4
         )
 
         def init_one(key):
-            params = model.init({"params": key}, x[:1])["params"]
+            params = model.init({"params": key}, x_one[:1])["params"]
             return params, tx.init(params)
 
         keys = jax.random.split(jax.random.key(seed), B * F)
@@ -105,10 +120,11 @@ def make_ctc_cv_bucket_trainer(
         def epoch_step(carry, epoch_key):
             params, opts = carry
 
-            def per_model(p, o, lr, wd, w, key):
+            def per_model(p, o, lr, wd, w, key, f):
+                xx = x[f] if per_fold_x else x
                 loss, grads = jax.value_and_grad(
                     lambda p_: _weighted_ctc_loss(
-                        model, p_, x, y, in_adj, ll, w, blank, key
+                        model, p_, xx, y, in_adj, ll, w, blank, key
                     )
                 )(p)
                 frac = jnp.minimum(o.count / decay_steps, 1.0)
@@ -118,14 +134,17 @@ def make_ctc_cv_bucket_trainer(
                 return optax.apply_updates(p, updates), o2
 
             mkeys = jax.random.split(epoch_key, B * F)
-            params, opts = jax.vmap(per_model)(params, opts, lrs, wds, w_tr, mkeys)
+            params, opts = jax.vmap(per_model)(
+                params, opts, lrs, wds, w_tr, mkeys, fold_ids
+            )
             return (params, opts), None
 
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
         (params, _), _ = jax.lax.scan(epoch_step, (params, opts), ekeys)
 
-        def eval_one(p, w):
-            logits = model.apply({"params": p}, x, True)
+        def eval_one(p, w, f):
+            xx = x[f] if per_fold_x else x
+            logits = model.apply({"params": p}, xx, True)
             lp = jax.nn.log_softmax(logits, axis=-1)
             mask = jnp.arange(logits.shape[1])[None, :] < in_adj[:, None]
             dec, lens = greedy_decode(lp, blank, mask)
@@ -138,7 +157,7 @@ def make_ctc_cv_bucket_trainer(
                 jnp.sum(ll * w), 1
             ) * 100.0
 
-        pers = jax.jit(jax.vmap(eval_one))(params, w_va)  # (B*F,)
+        pers = jax.jit(jax.vmap(eval_one))(params, w_va, fold_ids)  # (B*F,)
         per_trial = np.asarray(pers).reshape(B, F).mean(axis=1)
         return [float(p) for p in per_trial]
 

@@ -334,6 +334,13 @@ class TuneCTCConfig:
     n_trials: int = 30
     rungs: str = "30,100"  # successive-halving epoch rungs
     eta: int = 3
+    # per-trial k-fold CV (the reference CV trainable, train_func_cv /
+    # CTCHeldOutTargetVal[Align]CVDataModule, tune_ctc_rnn.py:550-634;
+    # reference uses 5): each trial's metric is the fold-mean val PER.
+    # 0 = single held-out val split (the cheap default). Pooled contexts
+    # with on-the-fly fitting refit PCA/CCA per fold on that fold's
+    # target-train rows (the leak-free AlignCV semantics).
+    cv_folds: int = 0
     align_train: bool = False  # tune_ctc_rnn_align: pool aligned cross data
     pool_train: bool = False  # pool unaligned cross data (tune_ctc_rnn)
     sampler: str = "random"  # random | tpe (BOHB-style model-based search)

@@ -893,3 +893,30 @@ def test_tune_ctc_pooled_honors_synth_knobs(tmp_path):
     )
     res = run_tune_ctc(cfg, verbose=False)
     assert len(res) == 1 and np.isfinite(res[0]["metric"])
+
+
+def test_tune_ctc_cv_folds_patient(tmp_path):
+    """cv_folds>0 routes through the reference CV trainable
+    (fold-mean val PER); results still rank/persist normally."""
+    cfg = TuneCTCConfig(
+        n_trials=2, rungs="2", cv_folds=2,
+        synth_patients=1, synth_trials=24, synth_T=24,
+        manifest=str(tmp_path / "m.jsonl"),
+    )
+    res = run_tune_ctc(cfg, verbose=False)
+    assert len(res) == 2
+    assert all(np.isfinite(r["metric"]) for r in res)
+    assert (tmp_path / "m.jsonl").exists()
+
+
+def test_tune_ctc_cv_folds_aligned(tmp_path):
+    """align_train + cv_folds: per-fold leak-free PCA+CCA feature stacks
+    (the tune_ctc_rnn_align CV datamodule semantics)."""
+    cfg = TuneCTCConfig(
+        n_trials=2, rungs="2", cv_folds=2, align_train=True,
+        synth_patients=2, synth_trials=20, synth_T=24,
+        manifest=str(tmp_path / "m.jsonl"),
+    )
+    res = run_tune_ctc(cfg, verbose=False)
+    assert len(res) == 2
+    assert all(np.isfinite(r["metric"]) for r in res)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cross_patient_speech_decoding_tpu.sweep import (
     Manifest,
@@ -196,3 +197,55 @@ def test_fit_minibatches_share_one_shape():
     assert [len(c) for c in chunks] == [5] * 5
     seen = np.unique(np.concatenate(chunks))
     np.testing.assert_array_equal(seen, np.arange(23))  # full epoch coverage
+
+
+def test_cv_bucket_trainer_per_fold_stack_matches_shared():
+    """A per-fold feature stack with IDENTICAL folds must reproduce the
+    shared-array trainer exactly (the stacked path only changes which x
+    each (trial, fold) model reads)."""
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_cv_bucket_trainer,
+    )
+
+    data = _ctc_data(3, n=18)
+    x, y, il, ll = data
+    rng = np.random.default_rng(1)
+    F = 2
+    fold_ids = rng.permutation(18) % F
+    va = np.stack([(fold_ids == f).astype(np.float32) for f in range(F)])
+    tr = 1.0 - va
+    kw = dict(n_classes=5, win_size=8, stride=4, decay_steps=250)
+    cfgs = [{"lr": 5e-3, "weight_decay": 1e-5, "hidden": 16, "n_layers": 1,
+             "dropout": 0.0}]
+    shared = make_ctc_cv_bucket_trainer(data, tr, va, **kw)(cfgs, epochs=200)
+    stacked = make_ctc_cv_bucket_trainer(
+        (jnp.stack([x] * F), y, il, ll), tr, va, **kw
+    )(cfgs, epochs=200)
+    np.testing.assert_allclose(shared, stacked, rtol=1e-6)
+    assert shared[0] < 95  # the config learns: the discriminator below
+    # has signal (an untrained model scores 100 on ANY features)
+
+    # distinct per-fold features are actually consumed: replacing fold
+    # 1's features with noise changes the fold-mean metric
+    rng2 = np.random.default_rng(9)
+    x2 = jnp.stack(
+        [x, jnp.asarray(rng2.normal(size=x.shape), jnp.float32)]
+    )
+    noised = make_ctc_cv_bucket_trainer((x2, y, il, ll), tr, va, **kw)(
+        cfgs, epochs=200
+    )
+    assert not np.allclose(shared, noised)
+
+
+def test_cv_bucket_trainer_rejects_fold_mismatch():
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_cv_bucket_trainer,
+    )
+
+    data = _ctc_data(0, n=12)
+    x, y, il, ll = data
+    va = np.zeros((3, 12), np.float32)
+    with pytest.raises(ValueError):
+        make_ctc_cv_bucket_trainer(
+            (jnp.stack([x] * 2), y, il, ll), 1.0 - va, va, n_classes=5
+        )
