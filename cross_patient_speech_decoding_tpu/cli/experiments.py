@@ -330,6 +330,18 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     )
     y_host = np.asarray(tar.y)
 
+    mesh = None
+    if getattr(cfg, "n_devices", 0) > 0:
+        if cfg.nested:
+            raise ValueError(
+                "nested=true does not support n_devices: the TPE search "
+                "is host-driven per outer fold (its inner scoring is "
+                "already device-batched); run nested on one chip"
+            )
+        from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.n_devices)
+
     Path(cfg.out).parent.mkdir(parents=True, exist_ok=True)
     # kill-and-resume: per-iteration fold accs already in the incremental
     # pkl are skipped (per-iteration seeds make the continuation identical
@@ -378,7 +390,7 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
         return np.stack(all_accs)
 
     decoder = make_cv_decoder(cfg.strategy, dcfg, fold_batch=cfg.fold_batch,
-                              return_preds=cfg.save_preds)
+                              mesh=mesh, return_preds=cfg.save_preds)
     # iter_batch > 1 stacks several iterations' fold masks into one device
     # call (folds are just rows to the decoder; per-iteration seeds and
     # incremental persistence are unchanged, so resume stays per-iteration
@@ -498,6 +510,12 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
         make_optimizer,
     )
 
+    if getattr(cfg, "n_devices", 0) > 0 and not cfg.fold_parallel:
+        raise ValueError(
+            "n_devices requires fold_parallel=true: fold-axis sharding "
+            "is the seq2seq driver's multi-chip strategy (the sequential "
+            "path trains one fold at a time on one device)"
+        )
     Xs_raw, y_raw = _seq2seq_arrays(cfg)
     n_pts = len(Xs_raw)
     T = Xs_raw[0].shape[1]
@@ -596,10 +614,27 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
             pooled_fold_arrays,
         )
 
+        mesh = None
+        if getattr(cfg, "n_devices", 0) > 0:
+            # shard the fold axis across chips; the per-program fold
+            # count must divide the mesh or the sharding constraint in
+            # the trainer would silently no-op (fold_parallel.py:118)
+            eff = cfg.fold_chunk if cfg.fold_chunk > 0 else cfg.n_folds
+            if eff % cfg.n_devices:
+                raise ValueError(
+                    f"n_devices={cfg.n_devices} must divide the "
+                    f"per-program fold count ({eff}: fold_chunk or "
+                    "n_folds) for fold-axis sharding"
+                )
+            from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+            mesh = make_mesh(cfg.n_devices)
+
         trainer_fn = make_seq2seq_fold_trainer_fn(
             model, lr=cfg.lr, weight_decay=cfg.weight_decay,
             decay_iters=cfg.decay_iters, clip=cfg.clip,
             rnn_impl=getattr(cfg, "rnn_impl", "scan"),
+            mesh=mesh,
         )
         aug_names = _parse_augmentations(cfg.augmentations)
         if cfg.log_metrics and cfg.out and start_it == 0:
@@ -934,7 +969,19 @@ def run_train_nn(cfg, verbose: bool = True):
     model = _make_nn_classifier(cfg, n_y)
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_iters,
                         end_factor=0.01, clip=cfg.clip)
-    train_step = jax.jit(make_classifier_train_step(model, tx))
+    if getattr(cfg, "n_devices", 0) > 0:
+        # data-parallel classifier step (batch rows shard, grads psum;
+        # zero-weight padding keeps non-divisible batches exact)
+        from cross_patient_speech_decoding_tpu.parallel import (
+            make_mesh,
+            make_sharded_classifier_train_step,
+        )
+
+        train_step = make_sharded_classifier_train_step(
+            model, tx, make_mesh(cfg.n_devices)
+        )
+    else:
+        train_step = jax.jit(make_classifier_train_step(model, tx))
     eval_step = jax.jit(make_classifier_eval_step(model))
     y_host = np.asarray(tar.y)
 
@@ -1440,7 +1487,21 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
     )
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.decay_steps,
                         clip=cfg.clip)
-    train_step = jax.jit(make_ctc_train_step(model, tx))
+    if getattr(cfg, "n_devices", 0) > 0:
+        # data-parallel shard_map step over a 1-D mesh: batch rows shard,
+        # params/optimizer replicate, gradients psum. Non-divisible
+        # batches pad with zero-weight rows (exact gradients); only the
+        # per-shard dropout key stream differs from the 1-device run.
+        from cross_patient_speech_decoding_tpu.parallel import (
+            make_mesh,
+            make_padded_sharded_ctc_train_step,
+        )
+
+        train_step = make_padded_sharded_ctc_train_step(
+            model, tx, make_mesh(cfg.n_devices)
+        )
+    else:
+        train_step = jax.jit(make_ctc_train_step(model, tx))
     eval_step = jax.jit(make_ctc_eval_step(model))
     logits_fn = jax.jit(
         lambda s, x: jax.nn.log_softmax(
@@ -1750,8 +1811,17 @@ def _tune_cv_trainer(cfg: TuneCTCConfig, rng: np.random.Generator, F: int):
         y, il, ll = np.asarray(y), np.asarray(il), np.asarray(ll)
     batch = (x, jnp.asarray(y), jnp.asarray(il), jnp.asarray(ll))
     return make_ctc_cv_bucket_trainer(
-        batch, w_tr, w_va, n_classes=11, seed=cfg.seed
+        batch, w_tr, w_va, n_classes=11, seed=cfg.seed,
+        mesh=_tune_mesh(cfg),
     )
+
+
+def _tune_mesh(cfg: TuneCTCConfig):
+    if getattr(cfg, "n_devices", 0) <= 0:
+        return None
+    from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+    return make_mesh(cfg.n_devices)
 
 
 def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
@@ -1811,7 +1881,7 @@ def run_tune_ctc(cfg: TuneCTCConfig, verbose: bool = True):
 
     if cfg.cv_folds <= 0:
         trainer = make_ctc_bucket_trainer(
-            train, val, n_classes=11, seed=cfg.seed
+            train, val, n_classes=11, seed=cfg.seed, mesh=_tune_mesh(cfg)
         )
     Path(cfg.manifest).parent.mkdir(parents=True, exist_ok=True)
     rungs = tuple(int(r) for r in cfg.rungs.split(","))

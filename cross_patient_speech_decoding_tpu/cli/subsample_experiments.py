@@ -92,6 +92,10 @@ class SubsampleConfig:
     nested_rounds: int = 2
     nested_points: int = 3
     nested_inner: int = 3
+    # multi-chip: shard each sweep point's CV fold axis over a 1-D mesh
+    # of the first n devices (0 = single device; ignored by nested=true,
+    # whose search is host-driven)
+    n_devices: int = 0
     seed: int = 0
     # real electrode geometry: dir holding {pt}/{pt}_channelMap.mat +
     # {pt}_sigChannel.mat ('' = fabricate a square map, synthetic only)
@@ -133,14 +137,19 @@ def _setup(cfg: SubsampleConfig):
 _DECODER_CACHE: dict = {}
 
 
-def _cv_decoder(strategy: str, dcfg):
+def _cv_decoder(strategy: str, dcfg, n_devices: int = 0):
     """One jitted CV-decoder per (strategy, config): make_cv_decoder
     returns a fresh jax.jit closure whose trace cache starts empty, so
     rebuilding it per sweep point x iteration would retrace the full
     vmapped fold program on every call."""
-    key = (strategy, tuple(sorted(vars(dcfg).items())))
+    key = (strategy, tuple(sorted(vars(dcfg).items())), n_devices)
     if key not in _DECODER_CACHE:
-        _DECODER_CACHE[key] = make_cv_decoder(strategy, dcfg)
+        mesh = None
+        if n_devices > 0:
+            from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+            mesh = make_mesh(n_devices)
+        _DECODER_CACHE[key] = make_cv_decoder(strategy, dcfg, mesh=mesh)
     return _DECODER_CACHE[key]
 
 
@@ -160,7 +169,8 @@ def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng, tar_y_host=None):
             seed=int(rng.integers(2**31)),
         )
         return float(np.asarray(accs).mean())
-    decoder = _cv_decoder(cfg.strategy, dcfg)
+    decoder = _cv_decoder(cfg.strategy, dcfg,
+                          getattr(cfg, "n_devices", 0))
     if tar_y_host is None:  # avoid a ~0.4 s D2H sync per call (CLAUDE.md)
         tar_y_host = np.asarray(tar.y)
     tr, te = stratified_kfold_masks(tar_y_host, cfg.n_folds, rng)

@@ -51,6 +51,8 @@ def make_ctc_cv_bucket_trainer(
     blank: int = 0,
     decay_steps: int = 100,
     seed: int = 0,
+    mesh=None,
+    trial_axis: str = "data",
 ):
     """CV variant: train_bucket(configs, epochs) -> mean val PER over folds.
 
@@ -66,6 +68,11 @@ def make_ctc_cv_bucket_trainer(
     PCA+CCA contexts (CTCHeldOutTargetValAlignCVDataModule,
     tune_ctc_rnn_align), where each fold's transforms were fit on that
     fold's train rows only. Labels/lengths are fold-invariant.
+
+    With ``mesh`` given, the flattened (trial x fold) model axis is
+    sharded over the mesh (data replicated) when ``B*F`` divides the
+    device count — the CV analog of the plain bucket trainer's
+    trial-axis sharding.
     """
     x, y, il, ll = data_batch
     F = fold_train_masks.shape[0]
@@ -115,6 +122,24 @@ def make_ctc_cv_bucket_trainer(
 
         keys = jax.random.split(jax.random.key(seed), B * F)
         params, opts = jax.vmap(init_one)(keys)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape[trial_axis]
+            if (B * F) % n_dev == 0:
+                model_sh = lambda leaf: NamedSharding(
+                    mesh, P(trial_axis, *([None] * (leaf.ndim - 1)))
+                )
+                shard = lambda tree: jax.tree_util.tree_map(
+                    lambda leaf: jax.device_put(leaf, model_sh(leaf)), tree
+                )
+                params, opts = shard(params), shard(opts)
+                lrs, wds, w_tr, w_va, fold_ids = (
+                    shard(lrs), shard(wds), shard(w_tr), shard(w_va),
+                    shard(fold_ids),
+                )
+
         in_adj = adjusted_input_lengths(il, win_size, stride)
 
         def epoch_step(carry, epoch_key):

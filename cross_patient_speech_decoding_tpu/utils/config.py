@@ -125,6 +125,12 @@ class SVMDecodeConfig:
     # iterations per device call (stacked as extra fold rows; per-iteration
     # seeds/persistence unchanged — amortizes the tunnel sync per call)
     iter_batch: int = 1
+    # multi-chip: shard the CV fold axis over a 1-D data mesh of the
+    # first n devices (folds are embarrassingly parallel — the
+    # reference's SLURM job arrays, README.md:27, as XLA sharding instead
+    # of processes). 0 = single device. The nested search is host-driven
+    # per fold and does not support a mesh.
+    n_devices: int = 0
     # synthetic-data scale (data='synthetic' only): patients / trial length
     # / trials-per-class — reference scale is 8 patients, T=200
     synth_patients: int = 4
@@ -176,6 +182,12 @@ class TrainSeq2SeqConfig:
     # fold_parallel=False (the sequential path always uses the normal
     # dispatch gate).
     rnn_impl: str = "scan"
+    # multi-chip: shard the fold axis of the fold-parallel program over a
+    # 1-D data mesh of the first n devices (0 = single device). Requires
+    # fold_parallel=true, rnn_impl='scan' (the Pallas kernel's grid axis
+    # cannot be GSPMD-partitioned), and the per-program fold count
+    # (fold_chunk, or n_folds when fold_chunk=0) divisible by n_devices.
+    n_devices: int = 0
     # augmented copies of the pooled ALIGNED train rows (the reference's
     # post-alignment augmentation list, train_seq2seq.py:91:
     # time_shifting,noise_jitter,scaling); '' = none, 'all' = all five
@@ -227,6 +239,11 @@ class TrainNNConfig:
     decay_iters: int = 20
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
     trace: bool = False  # device profile of the first iteration
+    # multi-chip: data-parallel classifier step over a 1-D mesh of the
+    # first n devices (parallel.make_sharded_classifier_train_step;
+    # BatchNorm models compute per-shard batch stats — standard DP
+    # semantics; running stats pmean'd). 0 = single device.
+    n_devices: int = 0
     seed: int = 0
     out: str = "results/nn_decode.pkl"
 
@@ -294,6 +311,15 @@ class TrainCTCConfig:
     save_logits: bool = False
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
     trace: bool = False  # device profile of the first iteration
+    # multi-chip: data-parallel training over a 1-D mesh of the first n
+    # devices (explicit shard_map + psum step,
+    # parallel.make_padded_sharded_ctc_train_step — batch rows shard,
+    # params/optimizer replicate; non-divisible batches pad with
+    # zero-weight rows, gradients exactly equal the single-device step).
+    # 0 = single device. Per-shard dropout keys are folded with the
+    # device index, so a sharded run's dropout stream differs from the
+    # single-device run (same distribution).
+    n_devices: int = 0
     # synthetic-data scale (data='synthetic' only): reference CTC
     # production scale is 8 patients, ~250 trials, T=600 bins (4 s @
     # 200 Hz cropped to 3 s). synth_trials is the TOTAL per patient,
@@ -344,6 +370,13 @@ class TuneCTCConfig:
     align_train: bool = False  # tune_ctc_rnn_align: pool aligned cross data
     pool_train: bool = False  # pool unaligned cross data (tune_ctc_rnn)
     sampler: str = "random"  # random | tpe (BOHB-style model-based search)
+    # multi-chip: shard the TRIAL axis of each vmapped bucket over a 1-D
+    # mesh of the first n devices — each chip trains its slice of the
+    # bucket on replicated data (the multi-chip analog of the reference's
+    # 10 Ray actors at 0.1 GPU each, tune_ctc_rnn.py:664-676). Buckets
+    # whose trial count (x cv_folds) does not divide the mesh run
+    # unsharded. 0 = single device.
+    n_devices: int = 0
     n_components: float = 0.9
     # synthetic-data scale (data='synthetic' only; see TrainCTCConfig)
     synth_patients: int = 3
