@@ -68,3 +68,112 @@ def test_bench_compile_retry_retries_then_raises():
 def test_graft_entry_module_imports():
     g = _load("__graft_entry__")
     assert callable(g.entry) and callable(g.dryrun_multichip)
+
+
+def test_bench_ctc_flops_formula():
+    bench = _load("bench")
+    f1 = bench._ctc_flops_per_step(2000, 600, 60, 512, 3, 11, 14, 4)
+    f2 = bench._ctc_flops_per_step(4000, 600, 60, 512, 3, 11, 14, 4)
+    assert f1 > 0 and abs(f2 / f1 - 2.0) < 1e-6
+    # ~9 model-TFLOP per step at fig_5 production scale (74 TF/s at
+    # ~120 ms, docs/ROUND3.md)
+    assert 3e12 < f1 < 3e13
+
+
+def test_bench_aggregate_line_always_parses():
+    bench = _load("bench")
+    agg = bench.Aggregate()
+    # empty: every metric null, still a valid object with the contract keys
+    out = __import__("json").loads(agg.line())
+    assert out["metric"] == "alignment_fits_per_sec"
+    assert out["value"] is None and out["vs_baseline"] is None
+    assert out["sections_timed_out"] == []
+    # partial: alignment + calib only -> mfu_measured derivable for none
+    agg.frag.update({
+        "alignment_fits_per_sec": 5000.0,
+        "alignment_vs_baseline": 200.0,
+        "ceiling_tfps_measured": 100.0,
+        "ctc_model_tfps": 74.0,
+    })
+    agg.timed_out.append("seq2seq")
+    out = __import__("json").loads(agg.line())
+    assert out["value"] == 5000.0
+    assert out["ctc_mfu_measured"] == 0.74
+    assert out["seq2seq_mfu_measured"] is None
+    assert out["sections_timed_out"] == ["seq2seq"]
+
+
+def test_bench_parse_child_json_takes_last_object():
+    bench = _load("bench")
+    stdout = "noise\n{\"a\": 1}\nwarn\n{\"b\": 2}\n"
+    assert bench._parse_child_json(stdout) == {"b": 2}
+    assert bench._parse_child_json("no json here") is None
+
+
+def _run_bench(env_extra, timeout=120, sig_after=None):
+    import json
+    import os
+    import signal
+    import subprocess
+    import time
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra)
+    proc = subprocess.Popen(
+        [sys.executable, str(ROOT / "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=str(ROOT),
+    )
+    if sig_after is not None:
+        time.sleep(sig_after)
+        proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=timeout)
+    line = [l for l in stdout.strip().splitlines() if l.startswith("{")][-1]
+    return proc.returncode, json.loads(line)
+
+
+def test_bench_emits_parseable_json_when_section_times_out():
+    """The round-3 failure mode (BENCH_r03 rc=124, parsed=null): a
+    section stuck in a cold compile must NOT take the artifact down."""
+    rc, out = _run_bench({
+        "BENCH_SECTIONS": "sleep",
+        "BENCH_TEST_SLEEP_S": "60",
+        "BENCH_BUDGET_SLEEP": "3",
+        "BENCH_GLOBAL_BUDGET_S": "60",
+    })
+    assert rc == 0
+    assert out["sections_timed_out"] == ["sleep"]
+    assert out["value"] is None  # alignment never ran; still parseable
+
+
+def test_bench_emits_on_sigterm():
+    """The driver's `timeout` SIGTERMs the parent mid-run; the handler
+    must still print the line."""
+    rc, out = _run_bench(
+        {
+            "BENCH_SECTIONS": "sleep",
+            "BENCH_TEST_SLEEP_S": "60",
+            "BENCH_BUDGET_SLEEP": "55",
+            "BENCH_GLOBAL_BUDGET_S": "90",
+        },
+        sig_after=3.0,
+    )
+    assert rc == 0
+    assert out["metric"] == "alignment_fits_per_sec"
+
+
+def test_bench_calib_section_end_to_end_cpu():
+    """Success path: a tiny calib child runs on the CPU backend and its
+    fragment lands in the final line."""
+    rc, out = _run_bench({
+        "BENCH_SECTIONS": "calib",
+        "BENCH_CALIB_N": "256",
+        "BENCH_GLOBAL_BUDGET_S": "110",
+        "BENCH_BUDGET_CALIB": "100",
+    })
+    assert rc == 0
+    assert out["sections_timed_out"] == []
+    assert out["sections_failed"] == []
+    assert out["ceiling_tfps_measured"] is not None
+    assert out["ceiling_tfps_measured"] > 0
