@@ -80,7 +80,7 @@ def _build_patient_arrays(Xs, ys, aligns):
     return pts, len(y_uni), len(a_uni)
 
 
-def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
+def patients_from_config(data: str, target_pt: str, p_ind: int = -1,
                           lab_type: str = "phon", algn_type: str = "phon_seq",
                           seed: int = 0, random_data: bool = False,
                           noise: float = 0.6, trials_per_class: int = 15,
@@ -121,6 +121,11 @@ def _patients_from_config(data: str, target_pt: str, p_ind: int = -1,
     if return_names:
         return pts[0], tuple(pts[1:]), n_y, n_a, names
     return pts[0], tuple(pts[1:]), n_y, n_a
+
+
+# public name for example/analysis flows; the underscore alias remains for
+# the in-package drivers
+_patients_from_config = patients_from_config
 
 
 # Single-entry cache keyed by (seed, sizes): pooled synthetic contexts

@@ -24,6 +24,7 @@ from cross_patient_speech_decoding_tpu.utils.config import (
     AnalyzeConfig,
     MakeXformsConfig,
     RealtimeSimConfig,
+    ReproduceConfig,
     SVMDecodeConfig,
     TrainCTCConfig,
     TrainNNConfig,
@@ -51,6 +52,9 @@ _COMMANDS = {
     "subsample-grid": (SubsampleConfig, "run_grid_subsample"),
     "subsample-spatial": (SubsampleConfig, "run_spatial_avg"),
     "subsample-pitch": (SubsampleConfig, "run_pitch_subsample"),
+    # manifest-driven full-matrix orchestration (the reference's SLURM
+    # job-array workflow, README.md:27, as one resumable command)
+    "reproduce": (ReproduceConfig, "run_reproduce"),
 }
 
 
@@ -79,14 +83,18 @@ def main(argv=None):
         cache = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache_tpu"
         jax.config.update("jax_compilation_cache_dir", str(cache))
 
-    from cross_patient_speech_decoding_tpu.cli import experiments
+    from cross_patient_speech_decoding_tpu.cli import (
+        experiments,
+        reproduce,
+        subsample_experiments,
+    )
 
-    if fn_name.startswith("run_") and not hasattr(experiments, fn_name):
-        from cross_patient_speech_decoding_tpu.cli import subsample_experiments
-
-        result = getattr(subsample_experiments, fn_name)(cfg)
-    else:
-        result = getattr(experiments, fn_name)(cfg)
+    for mod in (experiments, subsample_experiments, reproduce):
+        if hasattr(mod, fn_name):
+            result = getattr(mod, fn_name)(cfg)
+            break
+    else:  # pragma: no cover - command table/module drift
+        raise AttributeError(fn_name)
     return 0 if result is not None else 1
 
 

@@ -114,6 +114,13 @@ def _transform_latents(st, X, max_k):
     return pca_transform(st, X.reshape(N * T, C)).reshape(N, T, -1)
 
 
+# Public names for the figure/example flows (the fig_2/3/6 analyses PCA
+# patients into latent space with exactly the decoder's recipe); the
+# underscore names remain the in-package spelling.
+fit_pca_latents = _fit_pca_latents
+transform_latents = _transform_latents
+
+
 def _pool_and_classify(
     tar_feats,
     tar_y,

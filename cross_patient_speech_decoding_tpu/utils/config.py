@@ -57,7 +57,14 @@ def load_config(cls, yaml_path: str | None = None, overrides: list[str] | None =
             raise ValueError(f"override must be key=value, got {ov!r}")
         k, v = ov.split("=", 1)
         values[k] = v
+    return config_from_values(cls, values)
 
+
+def config_from_values(cls, values: dict):
+    """Build a config dataclass from an already-merged value dict
+    (YAML-typed or string values; strings are coerced per field type).
+    Shared by :func:`load_config` and the ``cpsd reproduce`` matrix
+    expansion."""
     import typing
 
     hints = typing.get_type_hints(cls)
@@ -448,3 +455,42 @@ class RealtimeSimConfig:
     # persist the measured latency distribution for offline analysis
     # (analysis.latency — the supp_fig_20/24 flows)
     out: str = ""
+
+
+@dataclass
+class ReproduceConfig:
+    """Manifest-driven full-matrix orchestration (``cpsd reproduce``).
+
+    The reference's de-facto top-level driver is a SLURM job array over
+    patients x strategies x contexts (`/root/reference/README.md:27`;
+    each script parameterized per target, e.g.
+    `aligned_decode_svm_ncv.py:114-120`). Here one manifest YAML expands
+    into sequenced driver invocations with cross-matrix resume: jobs
+    whose incremental result pickles already hold ``n_iter`` iterations
+    are skipped, partially-done jobs resume from their last completed
+    iteration (the per-driver ``_completed_results`` machinery).
+
+    Manifest format::
+
+        defaults:            # optional, merged into every job
+          data: synthetic
+          n_iter: 50
+        jobs:
+          - command: svm-decode
+            matrix:          # cross-product, expanded in listed order
+              target_pt: [S14, S26]
+              strategy: [sep_align, joint_pca]
+            overrides:       # per-job fixed values; strings may use
+              n_folds: 20    # {placeholders} from the matrix point
+              out: "results/svm/{target_pt}_{strategy}.pkl"
+    """
+
+    manifest: str = ""  # path to the matrix YAML (required)
+    dry_run: bool = False  # print the expanded matrix and exit
+    keep_going: bool = False  # continue past a failed job
+    # comma filter: run only jobs whose command OR expanded out-path
+    # contains one of these substrings ('' = all)
+    only: str = ""
+    # forwarded to every expanded config that has an n_devices field
+    # (0 = leave each job's own value)
+    n_devices: int = 0

@@ -24,8 +24,8 @@ def main(out_dir="results/figs"):
 
     from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
     from cross_patient_speech_decoding_tpu.decoders.pooled import (
-        _fit_pca_latents,
-        _transform_latents,
+        fit_pca_latents,
+        transform_latents,
     )
     from cross_patient_speech_decoding_tpu.ops.cca import (
         cnd_avg,
@@ -49,8 +49,8 @@ def main(out_dir="results/figs"):
     lats, ids = [], []
     for p in range(2):
         X = jnp.asarray(ds.X[p], jnp.float32)
-        pca = _fit_pca_latents(X, 0.9, max_k)
-        lats.append(_transform_latents(pca, X, max_k))
+        pca = fit_pca_latents(X, 0.9, max_k)
+        lats.append(transform_latents(pca, X, max_k))
         ids.append(jnp.asarray(ds.class_ids[p], jnp.int32))
 
     al = fit_cca_aligner(lats[0], lats[1], ids[0], ids[1], ds.n_classes)

@@ -15,7 +15,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 
-def main(n_iter: int = 2, epochs: int = 150):
+def main(n_iter: int = 2, epochs: int = 150, **overrides):
+    """``overrides`` are forwarded to :class:`TrainCTCConfig` — e.g.
+    ``synth_patients=2, synth_T=120, decode="greedy"`` for a smoke run."""
     from cross_patient_speech_decoding_tpu.cli.experiments import run_train_ctc
     from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
     from cross_patient_speech_decoding_tpu.utils.scaling import (
@@ -26,9 +28,11 @@ def main(n_iter: int = 2, epochs: int = 150):
     n_iter, epochs = int(n_iter), int(epochs)
     pers = {}
     for context in ("chance", "patient", "unaligned", "aligned"):
+        kw = dict(hidden=128, n_layers=2, lr=3e-3, decay_steps=epochs,
+                  decode="beam", beam_size=50)
+        kw.update(overrides)
         cfg = TrainCTCConfig(context=context, n_iter=n_iter, epochs=epochs,
-                             hidden=128, n_layers=2, lr=3e-3,
-                             decay_steps=epochs, decode="beam", beam_size=50)
+                             **kw)
         pers[context] = run_train_ctc(cfg, verbose=False)
         print(f"{context:10s}: PER {pers[context].mean():.1f}% "
               f"+- {pers[context].std():.1f}", flush=True)

@@ -26,7 +26,7 @@ def main(n_iter: int = 5):
         wilcoxon_signed_rank,
     )
     from cross_patient_speech_decoding_tpu.cli.experiments import (
-        _patients_from_config,
+        patients_from_config,
     )
     from cross_patient_speech_decoding_tpu.data.splits import (
         repeated_stratified_kfold_masks,
@@ -38,7 +38,7 @@ def main(n_iter: int = 5):
 
     n_iter = int(n_iter)
     # hard regime so pooling and alignment visibly matter
-    tar, cross, n_y, n_a = _patients_from_config(
+    tar, cross, n_y, n_a = patients_from_config(
         "synthetic", "S14", seed=0, noise=3.0, trials_per_class=6
     )
     cfg = DecodeConfig(n_comp=0.9, max_k=24, n_classes=n_y,
@@ -88,8 +88,8 @@ def reconstruction_transfer(tar, cross, n_y, n_a, max_k=24):
     (`figure_analyses/fig_3.ipynb` ``recon_decode``/``aligned_data_null``
     cells)."""
     from cross_patient_speech_decoding_tpu.decoders.pooled import (
-        _fit_pca_latents,
-        _transform_latents,
+        fit_pca_latents,
+        transform_latents,
     )
     from cross_patient_speech_decoding_tpu.ops.cca import (
         fit_cca_aligner,
@@ -105,16 +105,16 @@ def reconstruction_transfer(tar, cross, n_y, n_a, max_k=24):
     )
 
     T = tar.X.shape[1]
-    st_t = _fit_pca_latents(tar.X, 0.9, max_k)
-    lat_t = _transform_latents(st_t, tar.X, max_k)
+    st_t = fit_pca_latents(tar.X, 0.9, max_k)
+    lat_t = transform_latents(st_t, tar.X, max_k)
 
     flat_tar = tar.X.reshape(tar.X.shape[0], -1)
     clf = kernel_classifier_fit(flat_tar, tar.y, n_y, lam=1e-2)
 
     out = []
     for c in cross:
-        lat_c = _transform_latents(
-            _fit_pca_latents(c.X, 0.9, max_k), c.X, max_k
+        lat_c = transform_latents(
+            fit_pca_latents(c.X, 0.9, max_k), c.X, max_k
         )
         al = fit_cca_aligner(lat_t, lat_c, tar.y_align, c.y_align, n_a)
         accs = []

@@ -28,8 +28,8 @@ def main(n_iter: int = 10):
     )
     from cross_patient_speech_decoding_tpu.data import make_synthetic_patients
     from cross_patient_speech_decoding_tpu.decoders.pooled import (
-        _fit_pca_latents,
-        _transform_latents,
+        fit_pca_latents,
+        transform_latents,
     )
     from cross_patient_speech_decoding_tpu.ops.cca import (
         fit_cca_aligner,
@@ -49,8 +49,8 @@ def main(n_iter: int = 10):
         lats, ids = [], []
         for p in range(2):
             X = jnp.asarray(ds.X[p], jnp.float32)
-            pca = _fit_pca_latents(X, 0.9, max_k)
-            lats.append(np.asarray(_transform_latents(pca, X, max_k)))
+            pca = fit_pca_latents(X, 0.9, max_k)
+            lats.append(np.asarray(transform_latents(pca, X, max_k)))
             ids.append(np.asarray(ds.class_ids[p]))
 
         al = fit_cca_aligner(

@@ -17,7 +17,7 @@ import numpy as np
 
 def main(n_iter: int = 5):
     from cross_patient_speech_decoding_tpu.cli.experiments import (
-        _patients_from_config,
+        patients_from_config,
     )
     from cross_patient_speech_decoding_tpu.data.splits import (
         repeated_stratified_kfold_masks,
@@ -30,7 +30,7 @@ def main(n_iter: int = 5):
     n_iter = int(n_iter)
     # hard regime: heavy noise + few target trials, so pooling cross-patient
     # data (and aligning it well) actually matters
-    tar, cross, n_y, n_a = _patients_from_config(
+    tar, cross, n_y, n_a = patients_from_config(
         "synthetic", "S14", seed=0, noise=3.0, trials_per_class=6
     )
     results = {}
@@ -47,7 +47,7 @@ def main(n_iter: int = 5):
         print(f"{strategy:12s}: {accs.mean():.3f} +- {accs.std():.3f}")
 
     # random-data control (-r flag analog)
-    tar_r, cross_r, *_ = _patients_from_config(
+    tar_r, cross_r, *_ = patients_from_config(
         "synthetic", "S14", seed=0, random_data=True, noise=3.0,
         trials_per_class=6,
     )

@@ -19,7 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 
-def main(n_iter: int = 6):
+def main(n_iter: int = 6, **overrides):
+    """``overrides`` are forwarded to :class:`SubsampleConfig` — e.g.
+    ``trials_per_class=4, k_step=30`` for a smoke run."""
     from cross_patient_speech_decoding_tpu.analysis import (
         fdr_bh,
         paired_permutation_test,
@@ -35,7 +37,9 @@ def main(n_iter: int = 6):
     # hard regime: heavy noise + few trials so resolution/data actually
     # limit accuracy (a saturated sweep is uninformative)
     hard = dict(noise=3.0, trials_per_class=8, n_folds=3, n_iter=n_iter)
-    cfg = SubsampleConfig(k_step=15, **hard)
+    hard.update(overrides)
+    k_step = hard.pop("k_step", 15)
+    cfg = SubsampleConfig(k_step=k_step, **hard)
 
     # --- trial-count sweep + log-linear scaling fit (fig_5 flow) ----------
     ks, acc = run_trial_subsample(cfg, verbose=False)

@@ -1,0 +1,131 @@
+"""Tests for `cpsd reproduce` — the manifest-driven matrix runner
+(the reference's SLURM job-array workflow, README.md:27, as one
+resumable command)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from cross_patient_speech_decoding_tpu.cli.reproduce import (
+    expand_manifest,
+    run_reproduce,
+)
+from cross_patient_speech_decoding_tpu.utils.config import ReproduceConfig
+
+
+def test_expand_manifest_cross_product_and_templates():
+    manifest = {
+        "defaults": {"data": "synthetic", "seed": 3},
+        "jobs": [
+            {
+                "command": "svm-decode",
+                "matrix": {"target_pt": ["S14", "S26"],
+                           "strategy": ["sep_align", "joint_pca"]},
+                "overrides": {"n_iter": 2,
+                              "out": "r/{target_pt}_{strategy}.pkl"},
+            },
+            {"command": "realtime-sim"},
+        ],
+    }
+    jobs = expand_manifest(manifest)
+    assert len(jobs) == 5  # 2x2 matrix + 1 bare job
+    assert jobs[0]["values"]["out"] == "r/S14_sep_align.pkl"
+    assert jobs[0]["values"]["seed"] == 3  # defaults merged
+    assert jobs[3]["values"]["out"] == "r/S26_joint_pca.pkl"
+    assert jobs[4]["command"] == "realtime-sim"
+    # matrix order: later keys vary fastest (itertools.product)
+    assert [j["values"]["target_pt"] for j in jobs[:4]] == [
+        "S14", "S14", "S26", "S26"]
+
+
+def test_expand_manifest_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        expand_manifest({"jobs": []})
+    with pytest.raises(ValueError):
+        expand_manifest({"jobs": [{"matrix": {}}]})
+    with pytest.raises(ValueError):
+        expand_manifest(
+            {"jobs": [{"command": "svm-decode",
+                       "matrix": {"target_pt": "S14"}}]})
+
+
+def test_unknown_config_key_fails_before_any_run(tmp_path):
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump({
+        "jobs": [{"command": "svm-decode",
+                  "overrides": {"not_a_field": 1}}],
+    }))
+    with pytest.raises(KeyError):
+        run_reproduce(ReproduceConfig(manifest=str(m), dry_run=True),
+                      verbose=False)
+
+
+def test_unknown_command_fails(tmp_path):
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump({"jobs": [{"command": "no-such"}]}))
+    with pytest.raises(KeyError):
+        run_reproduce(ReproduceConfig(manifest=str(m), dry_run=True),
+                      verbose=False)
+
+
+def _mini_manifest(tmp_path, n_iter=1):
+    return {
+        "defaults": {"data": "synthetic", "seed": 0},
+        "jobs": [
+            {
+                "command": "svm-decode",
+                "matrix": {"target_pt": ["S14", "S26"],
+                           "strategy": ["sep_align", "joint_pca"]},
+                "overrides": {
+                    "n_iter": n_iter, "n_folds": 2, "synth_patients": 2,
+                    "synth_T": 12, "synth_trials": 6, "max_k": 8,
+                    "save_preds": False,
+                    "out": str(tmp_path) + "/{target_pt}_{strategy}.pkl",
+                },
+            },
+        ],
+    }
+
+
+def test_dry_run_and_only_filter(tmp_path):
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump(_mini_manifest(tmp_path)))
+    s = run_reproduce(ReproduceConfig(manifest=str(m), dry_run=True),
+                      verbose=False)
+    assert s["ran"] == 4 and s["skipped"] == 0 and not s["failed"]
+    s = run_reproduce(
+        ReproduceConfig(manifest=str(m), dry_run=True, only="S26"),
+        verbose=False)
+    assert s["ran"] == 2 and s["filtered"] == 2
+
+
+def test_mini_matrix_end_to_end_with_resume(tmp_path):
+    """2 patients x 2 strategies run for real on synthetic data; a second
+    invocation skips everything (cross-matrix resume)."""
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump(_mini_manifest(tmp_path)))
+    cfg = ReproduceConfig(manifest=str(m))
+    s = run_reproduce(cfg, verbose=False)
+    assert s["ran"] == 4 and not s["failed"]
+    for pt in ("S14", "S26"):
+        for st in ("sep_align", "joint_pca"):
+            assert (tmp_path / f"{pt}_{st}.pkl").exists()
+    s2 = run_reproduce(cfg, verbose=False)
+    assert s2["skipped"] == 4 and s2["ran"] == 0
+
+
+def test_keep_going_collects_failures(tmp_path, monkeypatch):
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump(_mini_manifest(tmp_path)))
+    import cross_patient_speech_decoding_tpu.cli.experiments as exp
+
+    def boom(cfg, verbose=True):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(exp, "run_svm_decode", boom)
+    cfg = ReproduceConfig(manifest=str(m), keep_going=True)
+    s = run_reproduce(cfg, verbose=False)
+    assert len(s["failed"]) == 4 and s["ran"] == 0
+    # without keep_going the first failure propagates
+    with pytest.raises(RuntimeError):
+        run_reproduce(ReproduceConfig(manifest=str(m)), verbose=False)
