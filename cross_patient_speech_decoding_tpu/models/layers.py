@@ -27,10 +27,38 @@ import jax
 import jax.numpy as jnp
 
 
+def reformat_time_windows(x: jax.Array, win: int, stride: int) -> jax.Array:
+    """(B, T, C) -> (B, n_win, win*C) sliding windows.
+
+    Flattening order matches the reference permute/reshape
+    (realtime_nn_model.py:172-199): within a window, time-major then
+    channel, i.e. [t0 c0..cC, t1 c0..cC, ...]. This is the materialized
+    form; on the TPU Pallas path FusedGRU's ``window=`` option performs
+    the same windowing inside the GRU kernel's index maps instead
+    (ops/pallas_gru.gru_layer_windowed) and this function is the
+    off-TPU/fallback implementation.
+    """
+    B, T, C = x.shape
+    n_win = (T - win) // stride + 1
+    idx = jnp.arange(n_win)[:, None] * stride + jnp.arange(win)[None, :]
+    xw = x[:, idx, :]  # (B, n_win, win, C)
+    return xw.reshape(B, n_win, win * C)
+
+
 class FusedGRU(nn.Module):
     """Single GRU layer as a scan with batched input projection.
 
     Call: (B, T, F) -> (outputs (B, T, H), h_last (B, H)).
+
+    With ``window=(win, stride)`` the input is RAW frames (B, T, C) and
+    the layer consumes overlapping sliding windows of width win*C: on the
+    TPU Pallas path the windowing happens inside the kernel's block index
+    maps (no materialized 3.5x-duplicated stream); elsewhere the windows
+    are materialized with :func:`reformat_time_windows`. Parameter shapes
+    are identical either way ((win*C, 3H) input weights), so checkpoints
+    and the streaming single-step path are unaffected. Requires
+    ``input_grad=False`` on the in-kernel path (windows are data; an
+    overlapping-window dx would need in-kernel scatter-add).
     """
 
     hidden: int
@@ -44,7 +72,36 @@ class FusedGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, h0: Optional[jax.Array] = None,
-                 return_params: bool = False):
+                 return_params: bool = False,
+                 window: Optional[tuple] = None):
+        from cross_patient_speech_decoding_tpu.ops import pallas_gru
+
+        if window is not None:
+            win, stride = window
+            B, T, C = x.shape
+            n_win = (T - win) // stride + 1
+            F = win * C
+            # in-kernel windowing: unidirectional data-input layers on
+            # the TPU Pallas path only
+            if (pallas_gru.enabled() and self.precision is None
+                    and not self.reverse and not self.input_grad
+                    and pallas_gru.worthwhile(B, n_win)):
+                H = self.hidden
+                wi = self.param("wi", nn.initializers.xavier_uniform(),
+                                (F, 3 * H))
+                wh = self.param("wh", nn.initializers.orthogonal(),
+                                (H, 3 * H))
+                bi = self.param("bi", nn.initializers.zeros, (3 * H,))
+                bh = self.param("bh", nn.initializers.zeros, (3 * H,))
+                if h0 is None:
+                    h0 = jnp.zeros((B, H), jnp.float32)
+                hs = pallas_gru.gru_layer_windowed(
+                    x.astype(jnp.bfloat16).swapaxes(0, 1), h0,
+                    wi, bi, wh, bh, win, stride,
+                )
+                return hs.swapaxes(0, 1), hs[-1]
+            x = reformat_time_windows(x, win, stride)
+
         B, T, F = x.shape
         H = self.hidden
         wi = self.param("wi", nn.initializers.xavier_uniform(), (F, 3 * H))
@@ -170,11 +227,17 @@ class StackedRNN(nn.Module):
         x: jax.Array,
         h0=None,
         deterministic: bool = True,
+        window: Optional[tuple] = None,
     ):
         Cell = FusedGRU if self.cell == "gru" else FusedLSTM
         n_dir = 2 if self.bidirectional else 1
         lasts = []
         out = x
+        if window is not None and (self.cell != "gru" or self.bidirectional):
+            # in-kernel windowing is a unidirectional-GRU layer-0 path;
+            # otherwise materialize once here (both directions share it)
+            out = reformat_time_windows(x, *window)
+            window = None
         h0_is_tuple = isinstance(h0, tuple)
         for layer in range(self.n_layers):
             # only layer 0 consumes the stack input; deeper layers' inputs
@@ -223,9 +286,14 @@ class StackedRNN(nn.Module):
                         out, deterministic=deterministic
                     )
                 continue
-            fwd, last_f = Cell(self.hidden, name=f"fwd{layer}", **cell_kw)(
-                out, h0_f
-            )
+            if layer == 0 and window is not None:
+                fwd, last_f = Cell(
+                    self.hidden, name=f"fwd{layer}", **cell_kw
+                )(out, h0_f, window=window)
+            else:
+                fwd, last_f = Cell(
+                    self.hidden, name=f"fwd{layer}", **cell_kw
+                )(out, h0_f)
             if self.bidirectional:
                 if h0 is None:
                     h0_b = None

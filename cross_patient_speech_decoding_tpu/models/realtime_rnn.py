@@ -19,21 +19,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cross_patient_speech_decoding_tpu.models.layers import StackedRNN
-
-
-def reformat_time_windows(x: jax.Array, win: int, stride: int) -> jax.Array:
-    """(B, T, C) -> (B, n_win, win*C) sliding windows.
-
-    Flattening order matches the reference permute/reshape
-    (realtime_nn_model.py:172-199): within a window, time-major then
-    channel, i.e. [t0 c0..cC, t1 c0..cC, ...].
-    """
-    B, T, C = x.shape
-    n_win = (T - win) // stride + 1
-    idx = jnp.arange(n_win)[:, None] * stride + jnp.arange(win)[None, :]
-    xw = x[:, idx, :]  # (B, n_win, win, C)
-    return xw.reshape(B, n_win, win * C)
+from cross_patient_speech_decoding_tpu.models.layers import (
+    StackedRNN,
+    reformat_time_windows,  # noqa: F401  (public here historically)
+)
 
 
 def adjusted_input_lengths(input_lengths: jax.Array, win: int, stride: int):
@@ -98,12 +87,20 @@ class RealtimeRNN(nn.Module):
         )
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        """x (B, T, C) -> logits (B, n_win, n_classes)."""
+        """x (B, T, C) -> logits (B, n_win, n_classes).
+
+        The sliding-window reformat is delegated to the RNN stack's
+        ``window=`` path: on the TPU Pallas train path (input_grad=False)
+        layer 0 windows IN-KERNEL via overlapping block index maps — the
+        3.5x-duplicated (B, n_win, win*C) stream is never materialized;
+        everywhere else the stack materializes it, identically to the
+        reference's unfold (realtime_nn_model.py:172-199).
+        """
         B = x.shape[0]
         n_dir = 2 if self.bidirectional else 1
-        xw = reformat_time_windows(x, self.win_size, self.stride)
         h0 = jnp.broadcast_to(self.h0, (self.n_layers * n_dir, B, self.hidden))
-        out, _ = self.rnn(xw, h0, deterministic=deterministic)
+        out, _ = self.rnn(x, h0, deterministic=deterministic,
+                          window=(self.win_size, self.stride))
         return self.head(out)
 
     def initial_hidden(self, batch: int = 1) -> jax.Array:

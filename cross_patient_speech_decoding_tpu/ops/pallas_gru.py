@@ -210,6 +210,297 @@ def _gru_bidir_forward(x, h0, wi, wh, b, *, bb_cap: int):
 
 
 # ---------------------------------------------------------------------------
+# windowed forward/backward (CTC layer 0: in-kernel sliding windows)
+# ---------------------------------------------------------------------------
+#
+# The RealtimeRNN reformats (B, T, C) raw frames into overlapping
+# (B, n_win, win*C) windows (win 14 / stride 4 -> 3.5x duplication;
+# reference realtime_nn_model.py:172-199). Materializing that stream
+# costs ~7 ms at the fig_5 production scale (measured round 4: gather
+# and strided-slice formulations tie, vs a 4.2 ms pure-bandwidth floor)
+# on a ~125 ms train step. These kernels consume the RAW frame stream
+# instead: the input is reshaped (no data movement) to stride-row slabs
+# (S, stride, B, C) and each grid step w reads slabs w..w+n_slabs-1 via
+# n_slabs block-index-mapped views of the SAME array — arbitrary-stride
+# overlapping windows expressed with plain BlockSpecs. The (BB, win*C)
+# window row is assembled in VMEM with a lane-axis concatenation of the
+# win (BB, C) pieces (bf16: half the VPU movement), which reproduces the
+# reference's time-major-then-channel flattening exactly.
+#
+# Only the no-dx (input_grad=False) regime is supported: windows are
+# DATA in every shipped driver, and an overlapping-window dx would need
+# in-kernel scatter-add. Callers needing input cotangents materialize
+# windows (FusedGRU falls back automatically).
+
+
+def _n_slabs(win: int, stride: int) -> int:
+    return (win - 1) // stride + 1
+
+
+def _slab_view(x, win: int, stride: int, n_win: int):
+    """(T, B, C) -> (S, stride, B, C) with S = n_win - 1 + n_slabs;
+    zero-pads or trims trailing frames (beyond the last window they are
+    never read)."""
+    T, B, C = x.shape
+    S = n_win - 1 + _n_slabs(win, stride)
+    T_need = S * stride
+    if T_need > T:
+        x = jnp.pad(x, ((0, T_need - T), (0, 0), (0, 0)))
+    elif T_need < T:
+        x = x[:T_need]
+    return x.reshape(S, stride, B, C)
+
+
+def _window_row(slab_refs, win: int, stride: int):
+    """Assemble the (BB, win*C) window row from the slab blocks in the
+    reference's time-major-then-channel order."""
+    pieces = [
+        slab_refs[k // stride][0, k % stride] for k in range(win)
+    ]
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _wfwd_kernel(*refs, win: int, stride: int):
+    ns = _n_slabs(win, stride)
+    slab_refs = refs[:ns]
+    h0_ref, wi_ref, wh_ref, b_ref, hs_ref, h_scr = refs[ns:]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    Hp = h.shape[1]
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    xt = _window_row(slab_refs, win, stride).astype(jnp.float32)
+    gi = dot(xt, wi_ref[:]) + b_ref[0]
+    gh = dot(h, wh_ref[:]) + b_ref[1]
+    r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+    z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+    n = jnp.tanh(gi[:, 2 * Hp :] + r * gh[:, 2 * Hp :])
+    h_new = (1.0 - z) * n + z * h
+    h_scr[:] = h_new
+    hs_ref[0] = h_new
+
+
+def _wbwd_kernel(*refs, win: int, stride: int):
+    ns = _n_slabs(win, stride)
+    slab_refs = refs[:ns]
+    (hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
+     dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr) = refs[ns:]
+    bidx = pl.program_id(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    @pl.when((bidx == 0) & (t == 0))
+    def _():
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    dotT = lambda a, w: jax.lax.dot_general(  # a @ w.T
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dotTa = lambda a, g: jax.lax.dot_general(  # a.T @ g
+        a, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    xt = _window_row(slab_refs, win, stride).astype(jnp.float32)
+    hp = hprev_ref[0]
+    Hp = hp.shape[1]
+    gi = dot(xt, wi_ref[:]) + b_ref[0]
+    gh = dot(hp, wh_ref[:]) + b_ref[1]
+    ghn = gh[:, 2 * Hp :]
+    r = jax.nn.sigmoid(gi[:, :Hp] + gh[:, :Hp])
+    z = jax.nn.sigmoid(gi[:, Hp : 2 * Hp] + gh[:, Hp : 2 * Hp])
+    n = jnp.tanh(gi[:, 2 * Hp :] + r * ghn)
+
+    dh = dh_scr[:] + dhs_ref[0]
+    dz = dh * (hp - n) * z * (1.0 - z)
+    dn = dh * (1.0 - z) * (1.0 - n * n)
+    dr = dn * ghn * r * (1.0 - r)
+    dgn = dn * r
+
+    dgi = jnp.concatenate([dr, dz, dn], axis=1)
+    dgh = jnp.concatenate([dr, dz, dgn], axis=1)
+
+    dh_new = dh * z + dotT(dgh, wh_ref[:])
+    dh_scr[:] = dh_new
+
+    @pl.when(t == T - 1)
+    def _():
+        dh0_ref[:] = dh_new
+
+    dwi_ref[:] += dotTa(xt, dgi)
+    dwh_ref[:] += dotTa(hp, dgh)
+    db_ref[0] += jnp.sum(dgi, axis=0)
+    db_ref[1] += jnp.sum(dgh, axis=0)
+
+
+def _slab_specs(n_slabs: int, stride: int, BB: int, C: int, n_win: int,
+                reverse: bool):
+    """n_slabs block-index-mapped views of the slab array: grid step t
+    (window w = t, or n_win-1-t when sweeping backward) reads slab
+    w + j."""
+    def idx(j):
+        if reverse:
+            return lambda b, t, j=j: (n_win - 1 - t + j, 0, b, 0)
+        return lambda b, t, j=j: (t + j, 0, b, 0)
+
+    return [
+        pl.BlockSpec((1, stride, BB, C), idx(j), memory_space=pltpu.VMEM)
+        for j in range(n_slabs)
+    ]
+
+
+def _gru_win_forward(slabs, h0, wi, wh, b, *, win, stride, n_win, bb_cap):
+    S, s, B, C = slabs.shape
+    Hp = wh.shape[0]
+    BB = _pick_bb(B, bb_cap)
+    ns = _n_slabs(win, stride)
+    const = lambda nd: (lambda bi, ti: (0,) * nd)
+    return pl.pallas_call(
+        partial(_wfwd_kernel, win=win, stride=stride),
+        grid=(B // BB, n_win),
+        in_specs=_slab_specs(ns, stride, BB, C, n_win, False) + [
+            pl.BlockSpec((BB, Hp), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win * C, 3 * Hp), const(2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BB, Hp), _tidx(False, n_win),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_win, B, Hp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(*([slabs] * ns), h0, wi, wh, b)
+
+
+def _gru_win_backward(slabs, hprev, dhs, wi, wh, b, *, win, stride, n_win,
+                      bb_cap):
+    S, s, B, C = slabs.shape
+    Hp = wh.shape[0]
+    BB = _pick_bb(B, min(bb_cap, 128))
+    ns = _n_slabs(win, stride)
+    const = lambda nd: (lambda bi, ti: (0,) * nd)
+    idx = _tidx(True, n_win)  # time sweeps backward through the windows
+    return pl.pallas_call(
+        partial(_wbwd_kernel, win=win, stride=stride),
+        grid=(B // BB, n_win),
+        in_specs=_slab_specs(ns, stride, BB, C, n_win, True) + [
+            pl.BlockSpec((1, BB, Hp), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, Hp), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((win * C, 3 * Hp), const(2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BB, Hp), lambda bi, ti: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win * C, 3 * Hp), const(2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hp, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * Hp), const(2), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((win * C, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((2, 3 * Hp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=_interpret(),
+    )(*([slabs] * ns), hprev, dhs, wi, wh, b)
+
+
+def gru_layer_windowed(x, h0, wi, bi, wh, bh, win: int, stride: int,
+                       bb_cap: int = 256):
+    """Fused GRU layer consuming RAW frames with in-kernel windowing.
+
+    Args:
+        x: (T, B, C) raw time-major frames (the CTC feature stream —
+            typically bf16; see FusedGRU's data-input cast).
+        h0: (B, H).
+        wi: (win*C, 3H) — the SAME layer-0 weight layout as the
+            materialized-window path (time-major-then-channel flatten,
+            reference realtime_nn_model.py:172-199), so checkpoints and
+            the streaming ``single_step`` path are unaffected.
+        win/stride: window geometry; n_win = (T - win)//stride + 1.
+
+    Returns:
+        hs: (n_win, B, H). Input cotangents are NOT produced (the
+        windowed path exists for data inputs only); parameters get exact
+        grads via the custom VJP.
+    """
+    T, B, C = x.shape
+    n_win = (T - win) // stride + 1
+    H = wh.shape[0]
+    Hp = _round_up(H, LANE)
+    if B <= 8:
+        padB = 0
+    elif B < 256:
+        padB = (-B) % 8
+    else:
+        padB = (-B) % 256
+    if padB:
+        x = jnp.pad(x, ((0, 0), (0, padB), (0, 0)))
+        h0 = jnp.pad(h0, ((0, padB), (0, 0)))
+    if Hp != H:
+        wi = _pad_gates(wi, H, Hp)
+        wh = jnp.pad(_pad_gates(wh, H, Hp), ((0, Hp - H), (0, 0)))
+        bi = _pad_gates(bi, H, Hp)
+        bh = _pad_gates(bh, H, Hp)
+        h0 = jnp.pad(h0, ((0, 0), (0, Hp - H)))
+    b = jnp.stack([bi, bh])
+    slabs = _slab_view(x, win, stride, n_win)
+    hs = _gru_win_core(slabs, h0, wi, wh, b, win, stride, bb_cap)
+    return hs[:, :B, :H]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gru_win_core(slabs, h0, wi, wh, b, win, stride, bb_cap):
+    hs, _ = _gru_win_fwd_rule(slabs, h0, wi, wh, b, win, stride, bb_cap)
+    return hs
+
+
+def _gru_win_fwd_rule(slabs, h0, wi, wh, b, win, stride, bb_cap):
+    n_win = slabs.shape[0] - _n_slabs(win, stride) + 1
+    hs = _gru_win_forward(slabs, h0, wi, wh, b, win=win, stride=stride,
+                          n_win=n_win, bb_cap=bb_cap)
+    return hs, (slabs, h0, wi, wh, b, hs)
+
+
+def _gru_win_bwd_rule(win, stride, bb_cap, res, dhs):
+    slabs, h0, wi, wh, b, hs = res
+    n_win = hs.shape[0]
+    hprev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    dh0, dwi, dwh, db = _gru_win_backward(
+        slabs, hprev, dhs, wi, wh, b, win=win, stride=stride, n_win=n_win,
+        bb_cap=bb_cap,
+    )
+    # data-input contract: no dx; zeros cotangent is DCE'd by XLA
+    return jnp.zeros_like(slabs), dh0, dwi, dwh, db
+
+
+_gru_win_core.defvjp(_gru_win_fwd_rule, _gru_win_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 

@@ -282,3 +282,124 @@ def test_bf16_data_input_stream():
     np.testing.assert_allclose(
         np.asarray(g_b) / scale, np.asarray(g_f) / scale, atol=5e-3
     )
+
+
+# ---------------------------------------------------------------- windowed ----
+
+
+def _win_case(seed=0, T=26, B=16, C=5, H=32, win=6, stride=2):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, B, C)) * 0.5, jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(B, H)) * 0.3, jnp.float32)
+    F = win * C
+    wi = jnp.asarray(rng.normal(size=(F, 3 * H)) / np.sqrt(F), jnp.float32)
+    bi = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(H, 3 * H)) / np.sqrt(H), jnp.float32)
+    bh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.1, jnp.float32)
+    return x, h0, wi, bi, wh, bh
+
+
+def _materialize_windows_tmajor(x_t, win, stride):
+    """(T, B, C) -> (n_win, B, win*C), reference flatten order."""
+    from cross_patient_speech_decoding_tpu.models.layers import (
+        reformat_time_windows,
+    )
+
+    xw = reformat_time_windows(x_t.swapaxes(0, 1), win, stride)
+    return xw.swapaxes(0, 1)
+
+
+@pytest.mark.parametrize("win,stride,T", [(6, 2, 26), (5, 2, 25), (4, 4, 16),
+                                          (7, 3, 23)])
+def test_windowed_forward_matches_materialized(win, stride, T):
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    x, h0, wi, bi, wh, bh = _win_case(T=T, win=win, stride=stride)
+    hs_w = gru_layer_windowed(x, h0, wi, bi, wh, bh, win, stride)
+    xw = _materialize_windows_tmajor(x, win, stride)
+    hs_r = gru_layer_reference(xw, h0, wi, bi, wh, bh)
+    assert hs_w.shape == hs_r.shape
+    np.testing.assert_allclose(np.asarray(hs_w), np.asarray(hs_r), atol=2e-6)
+
+
+def test_windowed_param_grads_match_materialized():
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    x, h0, wi, bi, wh, bh = _win_case(seed=5)
+    win, stride = 6, 2
+
+    def loss_w(h0, wi, bi, wh, bh):
+        return jnp.sum(jnp.sin(
+            gru_layer_windowed(x, h0, wi, bi, wh, bh, win, stride)))
+
+    xw = _materialize_windows_tmajor(x, win, stride)
+
+    def loss_r(h0, wi, bi, wh, bh):
+        return jnp.sum(jnp.sin(gru_layer_reference(xw, h0, wi, bi, wh, bh)))
+
+    gw = jax.grad(loss_w, argnums=(0, 1, 2, 3, 4))(h0, wi, bi, wh, bh)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(h0, wi, bi, wh, bh)
+    for a, b in zip(gw, gr):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=5e-6
+        )
+
+
+def test_windowed_no_input_cotangent():
+    """The windowed path promises an exact-zero x cotangent (data-input
+    contract)."""
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    x, h0, wi, bi, wh, bh = _win_case()
+    g = jax.grad(lambda xx: jnp.sum(
+        gru_layer_windowed(xx, h0, wi, bi, wh, bh, 6, 2)))(x)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_windowed_trailing_frames_and_batch_padding():
+    # T=27 with win 6 / stride 2 leaves one unused trailing frame; B=10
+    # forces batch padding. Both must not perturb results.
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    x, h0, wi, bi, wh, bh = _win_case(T=27, B=10, H=50)  # H pads to 128 too
+    hs_w = gru_layer_windowed(x, h0, wi, bi, wh, bh, 6, 2)
+    xw = _materialize_windows_tmajor(x, 6, 2)
+    hs_r = gru_layer_reference(xw, h0, wi, bi, wh, bh)
+    np.testing.assert_allclose(np.asarray(hs_w), np.asarray(hs_r), atol=2e-6)
+
+
+def test_realtime_rnn_windowed_path_matches_materialized(monkeypatch):
+    """Force the model-level windowed dispatch (normally TPU-only) in
+    interpret mode and check logits against the default materialized
+    path."""
+    import cross_patient_speech_decoding_tpu.ops.pallas_gru as pg
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+
+    rng = np.random.default_rng(0)
+    B, T, C = 12, 40, 5
+    x = jnp.asarray(rng.normal(size=(B, T, C)), jnp.float32)
+    kw = dict(hidden=32, n_layers=2, n_classes=7, dropout=0.0,
+              win_size=6, stride=2)
+    model = RealtimeRNN(input_grad=False, **kw)
+    variables = model.init({"params": jax.random.key(0)}, x, True)
+    logits_mat = model.apply(variables, x, True)
+
+    monkeypatch.setattr(pg, "enabled", lambda: True)
+    monkeypatch.setattr(pg, "worthwhile", lambda B, T: True)
+    logits_win = model.apply(variables, x, True)
+    # bf16 data stream on the kernel path: tolerance covers the cast
+    np.testing.assert_allclose(np.asarray(logits_win),
+                               np.asarray(logits_mat), atol=5e-2, rtol=1e-2)
+    # param tree unchanged between paths
+    reinit = model.init({"params": jax.random.key(0)}, x, True)
+    assert jax.tree_util.tree_structure(reinit) == \
+        jax.tree_util.tree_structure(variables)
