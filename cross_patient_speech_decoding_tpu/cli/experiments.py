@@ -621,19 +621,22 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
 
         mesh = None
         if getattr(cfg, "n_devices", 0) > 0:
-            # shard the fold axis across chips; the per-program fold
-            # count must divide the mesh or the sharding constraint in
-            # the trainer would silently no-op (fold_parallel.py:118)
-            eff = cfg.fold_chunk if cfg.fold_chunk > 0 else cfg.n_folds
-            if eff % cfg.n_devices:
-                raise ValueError(
-                    f"n_devices={cfg.n_devices} must divide the "
-                    f"per-program fold count ({eff}: fold_chunk or "
-                    "n_folds) for fold-axis sharding"
-                )
             from cross_patient_speech_decoding_tpu.parallel import make_mesh
 
+            # build the mesh FIRST (raises if n_devices exceeds the
+            # host's devices), then validate divisibility against the
+            # mesh that will actually be used — the sharding constraint
+            # in the trainer would silently no-op on a mismatch
+            # (fold_parallel.py:118)
             mesh = make_mesh(cfg.n_devices)
+            eff = cfg.fold_chunk if cfg.fold_chunk > 0 else cfg.n_folds
+            width = mesh.shape["data"]
+            if eff % width:
+                raise ValueError(
+                    f"mesh width {width} must divide the per-program "
+                    f"fold count ({eff}: fold_chunk or n_folds) for "
+                    "fold-axis sharding"
+                )
 
         trainer_fn = make_seq2seq_fold_trainer_fn(
             model, lr=cfg.lr, weight_decay=cfg.weight_decay,
@@ -799,9 +802,11 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
                     monitor="acc", mode="max", batch_size=cfg.batch_size,
                     eval_every=max(1, cfg.epochs // 20),
                     log_path=(
-                        _run_log_path(cfg.out, run_name, it, k)
+                        _run_log_path(cfg.out, run_name, it, k,
+                                      fmt=cfg.log_format)
                         if cfg.log_metrics else None
                     ),
+                    log_format=cfg.log_format,
                 )
             results.append(res.best_metric)
             iter_accs.append(res.best_metric)
@@ -818,21 +823,27 @@ def run_train_seq2seq(cfg: TrainSeq2SeqConfig, verbose: bool = True,
 
 # ------------------------------------------------------------ observability ----
 
-def _run_log_path(out: str, run_name: str, it: int, fold: int | None = None):
-    """Per-epoch metrics CSV path next to the results file.
+def _run_log_path(out: str, run_name: str, it: int, fold: int | None = None,
+                  fmt: str = "csv"):
+    """Per-epoch metrics log path next to the results file.
 
     Mirrors the reference's context-encoded TensorBoard run naming
     ``{pt}_{ptSpecific|aligned|unaligned|chance}_ctcRnn``
-    (train_ctc_rnn.py:235-261): logs land under ``logs/{run_name}/`` beside
-    the results pickle, one CSV per iteration (and fold where applicable).
+    (train_ctc_rnn.py:235-261): logs land under ``logs/{run_name}/``
+    beside the results pickle, one log per iteration (and fold where
+    applicable). ``fmt`` follows the driver's ``log_format`` knob:
+    ``csv``/``jsonl`` files, or a ``tb`` run DIRECTORY of TensorBoard
+    event files (live ``tensorboard --logdir``).
     """
     if not out:
         return None
     d = Path(out).parent / "logs" / run_name
-    name = f"iter{it:03d}" + (
-        "" if fold is None else f"_fold{fold:02d}"
-    ) + ".csv"
-    p = d / name
+    stem = f"iter{it:03d}" + ("" if fold is None else f"_fold{fold:02d}")
+    if fmt == "tb":
+        # one TB sub-run per iteration/fold; new event files append to
+        # the same run, so no truncation dance is needed
+        return str(d / stem)
+    p = d / (stem + (".jsonl" if fmt == "jsonl" else ".csv"))
     # this is only called for iterations about to RUN (resumed-away
     # iterations never reach it), so a pre-existing file is always a
     # stale log from an earlier run with the same out path — truncate it
@@ -1027,9 +1038,11 @@ def run_train_nn(cfg, verbose: bool = True):
                     eval_every=cfg.epochs,  # final-epoch eval only: the
                     # test split must not select the checkpoint
                     log_path=(
-                        _run_log_path(cfg.out, run_name, it, k)
+                        _run_log_path(cfg.out, run_name, it, k,
+                                      fmt=cfg.log_format)
                         if cfg.log_metrics else None
                     ),
+                    log_format=cfg.log_format,
                 )
             acc = float(res.history[-1]["acc"])
             fold_accs.append(acc)
@@ -1304,7 +1317,8 @@ def _same_run_config(stored: dict, current: dict) -> bool:
     resume, or a contexts comparison would silently return the first
     context's numbers.
     """
-    skip = {"n_iter", "out", "results_h5", "log_metrics", "trace"}
+    skip = {"n_iter", "out", "results_h5", "log_metrics",
+            "log_format", "trace"}
     keys = (set(stored) | set(current)) - skip
     return all(stored.get(k) == current.get(k) for k in keys)
 
@@ -1607,9 +1621,11 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
                 batch_size=cfg.batch_size or None,
                 eval_every=max(1, cfg.epochs // 30),
                 log_path=(
-                    _run_log_path(cfg.out, run_name, it)
+                    _run_log_path(cfg.out, run_name, it,
+                                  fmt=cfg.log_format)
                     if cfg.log_metrics else None
                 ),
+                log_format=cfg.log_format,
             )
         test_metrics = eval_step(res.best_state, test_batch)
         per = float(test_metrics["per"])

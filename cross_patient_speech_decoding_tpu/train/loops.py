@@ -75,6 +75,7 @@ def fit(
     seed: int = 0,
     verbose: bool = False,
     log_path: str | None = None,
+    log_format: str = "csv",
 ) -> FitResult:
     """Train with best-checkpoint tracking on the monitored val metric.
 
@@ -110,7 +111,7 @@ def fit(
             rec = {"epoch": epoch, **{k: float(v) for k, v in val_metrics.items()}}
             history.append(rec)
             if log_path:
-                _append_csv(log_path, rec)
+                append_metrics(log_path, rec, log_format)
             if sign * m < best:
                 best = sign * m
                 best_state = state
@@ -137,6 +138,41 @@ def _append_csv(path: str, rec: dict):
         if new:
             w.writeheader()
         w.writerow(rec)
+
+
+def append_metrics(path: str, rec: dict, fmt: str = "csv"):
+    """Write one per-epoch metrics record in the configured live-log
+    format (drivers' ``log_format`` knob):
+
+    - ``csv``: appendable file, one row per eval (offline analysis).
+    - ``jsonl``: one JSON object per line — tailable during a TPU run
+      (``tail -f logs/<run>/iter000.jsonl | jq .per``).
+    - ``tb``: TensorBoard event files; ``path`` is the run DIRECTORY and
+      a live ``tensorboard --logdir logs/`` shows the reference-style
+      context-encoded runs (train_ctc_rnn.py:235-261 workflow).
+    """
+    if fmt == "csv":
+        _append_csv(path, rec)
+    elif fmt == "jsonl":
+        import json
+        import pathlib
+
+        p = pathlib.Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with open(p, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+    elif fmt == "tb":
+        from cross_patient_speech_decoding_tpu.utils.tb_events import (
+            tb_writer,
+        )
+
+        step = int(rec.get("epoch", 0))
+        scalars = {k: v for k, v in rec.items()
+                   if k != "epoch" and isinstance(v, (int, float))}
+        tb_writer(path).add_scalars(step, scalars)
+    else:
+        raise ValueError(f"unknown log_format {fmt!r} (csv|jsonl|tb)")
 
 
 # ------------------------------------------------------------- checkpoint ----

@@ -200,6 +200,7 @@ class TrainSeq2SeqConfig:
     # time_shifting,noise_jitter,scaling); '' = none, 'all' = all five
     augmentations: str = ""
     log_metrics: bool = True  # per-epoch (or per-iteration) CSV logs
+    log_format: str = "csv"  # csv | jsonl (tailable) | tb (TensorBoard)
     trace: bool = False  # device profile of the first iteration
     # synthetic-data scale (data='synthetic' only): reference scale is
     # 8 patients, ~150 trials (trials = 27 classes x synth_trials), T=200.
@@ -245,6 +246,7 @@ class TrainNNConfig:
     clip: float = 0.5
     decay_iters: int = 20
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
+    log_format: str = "csv"  # csv | jsonl (tailable) | tb (TensorBoard)
     trace: bool = False  # device profile of the first iteration
     # multi-chip: data-parallel classifier step over a 1-D mesh of the
     # first n devices (parallel.make_sharded_classifier_train_step;
@@ -317,6 +319,7 @@ class TrainCTCConfig:
     # reference's results-h5 'logits' dataset (train_ctc_rnn.py:448-491)
     save_logits: bool = False
     log_metrics: bool = True  # per-epoch CSV under logs/{run_name}/
+    log_format: str = "csv"  # csv | jsonl (tailable) | tb (TensorBoard)
     trace: bool = False  # device profile of the first iteration
     # multi-chip: data-parallel training over a 1-D mesh of the first n
     # devices (explicit shard_map + psum step,
