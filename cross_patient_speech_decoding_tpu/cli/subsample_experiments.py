@@ -118,6 +118,14 @@ class SubsampleConfig:
 
 
 def _setup(cfg: SubsampleConfig):
+    if cfg.nested and getattr(cfg, "n_devices", 0) > 0:
+        # same contract as run_svm_decode: the nested TPE search is
+        # host-driven per fold and has no mesh path — fail loudly rather
+        # than silently running single-device
+        raise ValueError(
+            "nested=true does not support n_devices: the per-point TPE "
+            "search is host-driven (drop n_devices or nested)"
+        )
     tar, cross, n_y, n_a, names = _patients_from_config(
         cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
         random_data=cfg.random_data,

@@ -17,9 +17,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, data_axis: str = "data") -> Mesh:
-    """1-D device mesh over the first ``n_devices`` devices."""
+    """1-D device mesh over the first ``n_devices`` devices.
+
+    Raises when more devices are requested than exist — a silent
+    truncation would run e.g. ``n_devices=8`` single-device on a 1-chip
+    host while every downstream divisibility check assumes 8.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"n_devices={n_devices} requested but only {len(devs)} "
+                f"device(s) available ({jax.default_backend()} backend)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (data_axis,))
 
@@ -178,7 +188,13 @@ def make_sharded_classifier_train_step(model, tx, mesh: Mesh,
     semantics — gradients then differ from the single-device step by the
     local-vs-global batch-stat difference); the returned running
     ``batch_stats`` are pmean'd so the replicated state stays consistent.
-    Models without BatchNorm reproduce the single-device step exactly.
+    Note one further BN divergence: ZERO-WEIGHT PADDING rows (used to
+    round the batch up to the mesh) are excluded from loss/acc/grads but
+    still enter the padded shard's per-shard BN statistics — at typical
+    padding ratios (<1 shard row in thousands) this is noise-level, but
+    exact-BN use cases should pad with duplicated real rows or mask the
+    model's normalization themselves. Models without BatchNorm reproduce
+    the single-device step exactly.
     """
     import jax.numpy as jnp
     import optax

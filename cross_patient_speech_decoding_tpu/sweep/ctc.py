@@ -127,6 +127,15 @@ def make_ctc_cv_bucket_trainer(
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_dev = mesh.shape[trial_axis]
+            if (B * F) % n_dev != 0:
+                import warnings
+
+                warnings.warn(
+                    f"CV bucket of {B} trials x {F} folds does not divide "
+                    f"the {n_dev}-device mesh; running UNSHARDED on one "
+                    f"device (pad the trial budget or fold count to a "
+                    f"multiple of {n_dev} to shard)", stacklevel=2,
+                )
             if (B * F) % n_dev == 0:
                 model_sh = lambda leaf: NamedSharding(
                     mesh, P(trial_axis, *([None] * (leaf.ndim - 1)))

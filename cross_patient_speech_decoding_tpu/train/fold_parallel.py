@@ -115,6 +115,14 @@ def make_seq2seq_fold_trainer_fn(
         params, batch_stats = jax.vmap(init_one)(keys)
         opt_states = jax.vmap(tx.init)(params)
 
+        if mesh is not None and F % mesh.shape[fold_axis] != 0:
+            import warnings
+
+            warnings.warn(
+                f"{F} folds do not divide the {mesh.shape[fold_axis]}-"
+                f"device mesh; this fold chunk runs UNSHARDED on one "
+                f"device", stacklevel=2,
+            )
         if mesh is not None and F % mesh.shape[fold_axis] == 0:
             # every vmapped leaf has the fold axis leading (scalars became
             # (F,) under vmap), so a fold-axis constraint is always valid

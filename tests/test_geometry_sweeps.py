@@ -213,3 +213,17 @@ def test_synthetic_fallback_still_works():
     assert 4 in res_g
     res_p = run_pitch_subsample(cfg, verbose=False)
     assert 1.5 in res_p
+
+
+def test_subsample_nested_rejects_n_devices():
+    import pytest
+
+    from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
+        SubsampleConfig,
+        run_trial_subsample,
+    )
+
+    with pytest.raises(ValueError, match="nested"):
+        run_trial_subsample(
+            SubsampleConfig(nested=True, n_devices=2), verbose=False
+        )

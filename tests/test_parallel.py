@@ -150,3 +150,12 @@ def test_shard_map_ctc_step_matches_replicated():
         jax.tree_util.tree_leaves(ref_state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_make_mesh_rejects_oversubscription():
+    import pytest
+
+    from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="n_devices=99"):
+        make_mesh(99)
