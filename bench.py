@@ -193,9 +193,11 @@ def _run_section(name: str, budget_s: float, agg: Aggregate) -> bool:
     Returns False when the rest of the run should be abandoned
     (tunnel wedged after a kill)."""
     t0 = time.monotonic()
+    # stderr inherits: a crashed section's traceback must reach the
+    # driver's log (the artifact contract only needs stdout to be pure)
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--section", name],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        stdout=subprocess.PIPE, text=True,
     )
     agg._child = proc  # visible to the signal handler
     try:
@@ -630,12 +632,22 @@ def main(argv=None) -> int:
     root = os.path.dirname(os.path.abspath(__file__))
     if root not in sys.path:
         sys.path.insert(0, root)
-    if len(argv) >= 2 and argv[0] == "--section":
-        return run_child(argv[1])
-    if len(argv) >= 2 and argv[0] == "--probe":
+    if argv and argv[0] in ("--section", "--probe"):
+        if len(argv) < 2:
+            # a typo'd flag must NOT fall through to the full ~25-minute
+            # five-section benchmark run
+            sys.stderr.write(f"usage: bench.py {argv[0]} <name>\n")
+            return 2
+        if argv[0] == "--section":
+            return run_child(argv[1])
         from tools import probes
 
         return probes.run(argv[1], argv[2:])
+    if argv:
+        sys.stderr.write(f"unknown arguments {argv!r}; "
+                         "run with no arguments, --section <name>, or "
+                         "--probe <name>\n")
+        return 2
     return orchestrate()
 
 

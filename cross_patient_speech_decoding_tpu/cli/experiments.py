@@ -840,9 +840,15 @@ def _run_log_path(out: str, run_name: str, it: int, fold: int | None = None,
     d = Path(out).parent / "logs" / run_name
     stem = f"iter{it:03d}" + ("" if fold is None else f"_fold{fold:02d}")
     if fmt == "tb":
-        # one TB sub-run per iteration/fold; new event files append to
-        # the same run, so no truncation dance is needed
-        return str(d / stem)
+        # one TB sub-run per iteration/fold. Same stale-log rule as the
+        # csv branch: this is only reached for iterations about to RUN,
+        # so pre-existing event files are an earlier run's — TensorBoard
+        # would merge the two runs into garbled curves. Clear them.
+        run_dir = d / stem
+        if run_dir.is_dir():
+            for old_ev in run_dir.glob("events.out.tfevents.*"):
+                old_ev.unlink()
+        return str(run_dir)
     p = d / (stem + (".jsonl" if fmt == "jsonl" else ".csv"))
     # this is only called for iterations about to RUN (resumed-away
     # iterations never reach it), so a pre-existing file is always a
@@ -1317,13 +1323,17 @@ def _same_run_config(stored: dict, current: dict) -> bool:
     resume, or a contexts comparison would silently return the first
     context's numbers.
     """
+    # n_devices is execution topology, not experiment identity: the mesh
+    # paths are exact (global weighted means / deterministic fold
+    # sharding), so adding chips to finish a half-done matrix must resume
     skip = {"n_iter", "out", "results_h5", "log_metrics",
-            "log_format", "trace"}
+            "log_format", "trace", "n_devices"}
     keys = (set(stored) | set(current)) - skip
     return all(stored.get(k) == current.get(k) for k in keys)
 
 
-def _completed_results(out_path: str, params: dict, scalar: bool = True):
+def _completed_results(out_path: str, params: dict, scalar: bool = True,
+                       set_aside: bool = True):
     """Previously persisted per-iteration results, for kill-and-resume.
 
     The reference sketched this as ``get_completed_iters`` scanning
@@ -1332,7 +1342,9 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True):
     by a DIFFERENT config is set aside (renamed ``*.stale``, never
     deleted — prior expensive TPU results survive even a crash right
     after the rename) so stale results can never masquerade as this
-    run's.
+    run's. ``set_aside=False`` makes the check READ-ONLY (mismatches
+    return [] without touching the file) — preview paths like
+    ``cpsd reproduce dry_run=true`` must not mutate result files.
     """
     if not out_path:
         return []
@@ -1341,6 +1353,8 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True):
         return []
     store = load_pkl(p)
     if not _same_run_config(store.get("params", {}), params):
+        if not set_aside:
+            return []
         # unique suffix: a second mismatch must never destroy the first
         # set-aside file
         stale = p.with_name(p.name + ".stale")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import itertools
 import time
-from dataclasses import fields
+from dataclasses import fields, replace as dataclasses_replace
 from pathlib import Path
 
 from cross_patient_speech_decoding_tpu.utils.config import (
@@ -52,10 +52,15 @@ def _resolve_command(command: str):
 def expand_manifest(manifest: dict) -> list[dict]:
     """Expand a manifest dict into a flat job list.
 
-    Each entry: ``{"command", "values", "label"}`` with ``values`` the
-    fully-merged (defaults <- job overrides <- matrix point) dict and
-    every string value ``str.format``-ed with the merged dict, so
-    ``out: results/{target_pt}_{strategy}.pkl`` templates resolve.
+    Each entry: ``{"command", "values", "soft_keys", "label"}`` with
+    ``values`` the fully-merged (defaults <- job overrides <- matrix
+    point) dict and every string value ``str.format``-ed with the merged
+    dict, so ``out: results/{target_pt}_{strategy}.pkl`` templates
+    resolve. ``soft_keys`` are the keys that came ONLY from ``defaults``
+    — those are dropped for commands whose config lacks the field (a
+    shared ``data: synthetic`` default must not crash ``realtime-sim``),
+    while job-level ``overrides``/``matrix`` keys stay strict (typos in
+    a 50-job matrix must fail loudly, before any TPU time is spent).
     """
     defaults = dict(manifest.get("defaults") or {})
     jobs = manifest.get("jobs")
@@ -77,6 +82,7 @@ def expand_manifest(manifest: dict) -> list[dict]:
                 else [()]:
             point = dict(zip(keys, combo))
             values = {**defaults, **overrides, **point}
+            soft = set(defaults) - set(overrides) - set(point)
             fmt = {**values}
             for k, v in values.items():
                 if isinstance(v, str) and "{" in v:
@@ -84,32 +90,61 @@ def expand_manifest(manifest: dict) -> list[dict]:
             label = job.get("name", command)
             if point:
                 label += "[" + ",".join(f"{k}={v}" for k, v in point.items()) + "]"
-            out.append({"command": command, "values": values, "label": label})
+            out.append({"command": command, "values": values,
+                        "soft_keys": soft, "label": label})
     return out
 
 
-def _job_config(command: str, values: dict):
-    """Build the job's config, dropping manifest keys the target config
-    class does not define is NOT allowed — unknown keys raise (typos in a
-    50-job matrix must fail loudly, before any TPU time is spent)."""
+def _job_config(command: str, values: dict, soft_keys=()):
+    """Build the job's config. ``soft_keys`` (defaults-only keys) are
+    dropped when the target config class lacks the field; every other
+    unknown key raises."""
     cfg_cls, fn = _resolve_command(command)
-    return cfg_cls, fn, config_from_values(cfg_cls, dict(values))
+    names = {f.name for f in fields(cfg_cls)}
+    vals = {k: v for k, v in values.items()
+            if k in names or k not in soft_keys}
+    return cfg_cls, fn, config_from_values(cfg_cls, vals)
 
 
-def _already_complete(job_cfg) -> bool:
-    """True when the job's incremental results pickle already holds
-    n_iter iterations for THIS config (the driver-level resume identity,
-    including the stale-file set-aside)."""
+def _already_complete(job_cfg, mutate: bool = True) -> bool:
+    """True when the job's results file already holds a complete run for
+    THIS config (the driver-level resume identity, including the
+    stale-file set-aside — suppressed with ``mutate=False`` for
+    dry-run previews, which must be read-only).
+
+    Two store layouts exist: the incremental per-iteration pickles of
+    the decode/train drivers (complete when >= n_iter iterations), and
+    the write-once sweep pickles of the subsample drivers
+    ({'params','sweep','results'} — complete when params match exactly,
+    INCLUDING n_iter, and results are non-empty). Jobs without an
+    ``out``/``n_iter`` (e.g. realtime-sim) always re-run.
+    """
     out = getattr(job_cfg, "out", "")
     n_iter = getattr(job_cfg, "n_iter", None)
     if not out or n_iter is None or not Path(out).exists():
         return False
     from cross_patient_speech_decoding_tpu.cli.experiments import (
         _completed_results,
+        _same_run_config,
     )
 
-    done = _completed_results(out, vars(job_cfg), scalar=False)
-    return len(done) >= n_iter
+    done = _completed_results(out, vars(job_cfg), scalar=False,
+                              set_aside=mutate)
+    if len(done) >= n_iter:
+        return True
+    if done:
+        return False  # partially complete incremental run: resume it
+    if not Path(out).exists():
+        return False  # a config-mismatched file was just set aside
+    from cross_patient_speech_decoding_tpu.data.loaders import load_pkl
+
+    store = load_pkl(Path(out))
+    if "results" in store and "sweep" in store:
+        stored = store.get("params", {})
+        return (_same_run_config(stored, vars(job_cfg))
+                and stored.get("n_iter") == n_iter
+                and bool(store["results"]))
+    return False
 
 
 def run_reproduce(cfg: ReproduceConfig, verbose: bool = True):
@@ -128,11 +163,11 @@ def run_reproduce(cfg: ReproduceConfig, verbose: bool = True):
     summary = {"ran": 0, "skipped": 0, "filtered": 0, "failed": []}
     plan = []
     for job in jobs:
-        cfg_cls, fn, job_cfg = _job_config(job["command"], job["values"])
+        cfg_cls, fn, job_cfg = _job_config(
+            job["command"], job["values"], job.get("soft_keys", ()))
         if cfg.n_devices and any(
                 f.name == "n_devices" for f in fields(cfg_cls)):
-            job_cfg = config_from_values(
-                cfg_cls, {**job["values"], "n_devices": cfg.n_devices})
+            job_cfg = dataclasses_replace(job_cfg, n_devices=cfg.n_devices)
         if filters and not any(
                 s in job["label"] or s in getattr(job_cfg, "out", "")
                 for s in filters):
@@ -143,7 +178,8 @@ def run_reproduce(cfg: ReproduceConfig, verbose: bool = True):
     width = len(str(len(plan)))
     for i, (job, fn, job_cfg) in enumerate(plan):
         tag = f"[{i + 1:>{width}}/{len(plan)}] {job['label']}"
-        if _already_complete(job_cfg):
+        # dry-run previews are READ-ONLY: no stale-file set-asides
+        if _already_complete(job_cfg, mutate=not cfg.dry_run):
             summary["skipped"] += 1
             if verbose:
                 print(f"{tag}: complete, skipping", flush=True)

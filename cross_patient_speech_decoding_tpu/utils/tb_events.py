@@ -60,6 +60,10 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # protobuf int64 semantics: negatives encode as 64-bit two's
+    # complement (10-byte varint) — without this, Python's arithmetic
+    # right shift never reaches 0 and the loop would hang
+    n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

@@ -177,3 +177,10 @@ def test_bench_calib_section_end_to_end_cpu():
     assert out["sections_failed"] == []
     assert out["ceiling_tfps_measured"] is not None
     assert out["ceiling_tfps_measured"] > 0
+
+
+def test_bench_bad_argv_errors_instead_of_full_run():
+    bench = _load("bench")
+    assert bench.main(["--probe"]) == 2
+    assert bench.main(["--section"]) == 2
+    assert bench.main(["unexpected"]) == 2

@@ -129,3 +129,86 @@ def test_keep_going_collects_failures(tmp_path, monkeypatch):
     # without keep_going the first failure propagates
     with pytest.raises(RuntimeError):
         run_reproduce(ReproduceConfig(manifest=str(m)), verbose=False)
+
+
+def test_paper_manifest_expands_and_builds_every_config():
+    """The shipped paper.yaml must construct every job config (soft
+    defaults like data: synthetic are dropped for commands without the
+    field, e.g. realtime-sim)."""
+    from pathlib import Path
+
+    from cross_patient_speech_decoding_tpu.cli.reproduce import (
+        _job_config,
+        expand_manifest,
+    )
+
+    manifest = yaml.safe_load(
+        (Path(__file__).resolve().parent.parent / "manifests" /
+         "paper.yaml").read_text())
+    jobs = expand_manifest(manifest)
+    assert len(jobs) > 40
+    for job in jobs:
+        cfg_cls, fn, job_cfg = _job_config(
+            job["command"], job["values"], job["soft_keys"])
+        assert job_cfg is not None
+
+
+def test_strict_override_key_still_raises_with_soft_defaults(tmp_path):
+    from cross_patient_speech_decoding_tpu.cli.reproduce import _job_config
+
+    # defaults-only unknown key: dropped
+    _, _, cfg = _job_config("realtime-sim", {"data": "synthetic"},
+                            soft_keys={"data"})
+    # override-level unknown key: raises
+    with pytest.raises(KeyError):
+        _job_config("realtime-sim", {"data": "synthetic"}, soft_keys=())
+
+
+def test_dry_run_is_read_only_on_mismatched_results(tmp_path):
+    """dry_run must never set aside existing result files (review
+    finding: _completed_results renames on config mismatch)."""
+    from cross_patient_speech_decoding_tpu.data.loaders import save_pkl
+
+    man = _mini_manifest(tmp_path)
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump(man))
+    out = tmp_path / "S14_sep_align.pkl"
+    # a result file from a DIFFERENT config (different seed)
+    save_pkl({"params": {"seed": 999, "target_pt": "S14"},
+              "accs": [np.ones(2)]}, out)
+    run_reproduce(ReproduceConfig(manifest=str(m), dry_run=True),
+                  verbose=False)
+    assert out.exists()  # untouched
+    assert not list(tmp_path.glob("*.stale"))
+
+
+def test_n_devices_not_part_of_resume_identity():
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _same_run_config,
+    )
+
+    assert _same_run_config({"target_pt": "S14", "n_devices": 0},
+                            {"target_pt": "S14", "n_devices": 4})
+
+
+def test_sweep_store_completion_detected(tmp_path):
+    """Subsample drivers persist {'params','sweep','results'} once at
+    the end; reproduce must detect those as complete (review finding:
+    only incremental 'accs' stores were checked)."""
+    from cross_patient_speech_decoding_tpu.cli.reproduce import (
+        _already_complete,
+    )
+    from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
+        SubsampleConfig,
+    )
+    from cross_patient_speech_decoding_tpu.data.loaders import save_pkl
+
+    out = tmp_path / "sweep.pkl"
+    cfg = SubsampleConfig(n_iter=3, out=str(out))
+    assert not _already_complete(cfg)
+    save_pkl({"params": vars(cfg), "sweep": "trials",
+              "results": {10: [0.5, 0.6, 0.7]}}, out)
+    assert _already_complete(cfg)
+    # different n_iter: a sweep is NOT resumable mid-way -> not complete
+    assert not _already_complete(
+        SubsampleConfig(n_iter=5, out=str(out)), mutate=False)

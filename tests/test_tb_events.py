@@ -150,3 +150,24 @@ def test_fit_writes_configured_format(tmp_path):
         fit(state, train_step, eval_step, (X, y), (X, y), epochs=4,
             key=jax.random.key(0), log_path=str(target), log_format=fmt)
         assert check(target), fmt
+
+
+def test_varint_negative_is_twos_complement_not_hang():
+    # protobuf int64: -1 encodes as ten 0xFF-led bytes, not an infinite loop
+    b = _varint(-1)
+    assert len(b) == 10 and b[-1] == 0x01
+
+
+def test_run_log_path_tb_clears_stale_event_files(tmp_path):
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _run_log_path,
+    )
+
+    out = str(tmp_path / "r.pkl")
+    d = _run_log_path(out, "run", 0, fmt="tb")
+    stale = __import__("pathlib").Path(d)
+    stale.mkdir(parents=True)
+    (stale / "events.out.tfevents.123.host").write_bytes(b"old")
+    d2 = _run_log_path(out, "run", 0, fmt="tb")
+    assert d2 == d
+    assert not list(stale.glob("events.out.tfevents.*"))
