@@ -16,8 +16,9 @@ Run on the real TPU:
     python bench.py --probe ctc_driver_overhead
     python bench.py --probe bf16_parity
 
-Env knobs: ``BENCH_CALIB_N`` (calibration matmul size, default 4096 for
-probes), ``PROBE_EPOCHS`` (foldpar epochs, default 40).
+Env knobs: ``BENCH_CALIB_N`` (calibration matmul size, default 8192 —
+smaller sizes under-measure the ceiling because the tunnel's fixed D2H
+sync stops amortizing), ``PROBE_EPOCHS`` (foldpar epochs, default 40).
 """
 
 from __future__ import annotations
@@ -47,7 +48,10 @@ def _timeit(fn, n=10):
 def _ceiling():
     import bench
 
-    os.environ.setdefault("BENCH_CALIB_N", "4096")
+    # full 8192 calib, same as the bench's calib section: at 4096 the
+    # timed chain is ~27 ms and the tunnel's fixed D2H sync dominates —
+    # measured 93 vs 163 TF/s for the same session
+    os.environ.setdefault("BENCH_CALIB_N", "8192")
     return bench.section_calib()["ceiling_tfps_measured"]
 
 
