@@ -58,14 +58,38 @@ _COMMANDS = {
 }
 
 
+def _config_epilog(cfg_cls) -> str:
+    """Field table for ``cpsd <cmd> --help``: every key=value override
+    with its default (the config docstrings carry the semantics)."""
+    import dataclasses
+
+    lines = ["overridable keys (key=value):"]
+    for f in dataclasses.fields(cfg_cls):
+        default = f.default
+        if default is dataclasses.MISSING:
+            default = "(required)"
+        lines.append(f"  {f.name}={default!r}")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="cpsd",
         description="TPU-native cross-patient speech decoding framework",
     )
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in _COMMANDS:
-        p = sub.add_parser(name)
+    for name, (cfg_cls, _) in _COMMANDS.items():
+        doc = (cfg_cls.__doc__ or "").strip()
+        if doc.startswith(cfg_cls.__name__ + "("):
+            doc = ""  # dataclass auto-docstring (no real one written)
+        first = doc.splitlines()[0] if doc else None
+        p = sub.add_parser(
+            name,
+            help=first,
+            description=doc or None,
+            epilog=_config_epilog(cfg_cls),
+            formatter_class=argparse.RawDescriptionHelpFormatter,
+        )
         p.add_argument("--config", default=None, help="YAML config file")
         p.add_argument("overrides", nargs="*", help="key=value overrides")
 

@@ -68,6 +68,10 @@ from cross_patient_speech_decoding_tpu.decoders import (
 
 @dataclass
 class SubsampleConfig:
+    """Electrode/trial subsampling sweeps (grid / spatial-average /
+    pitch / trial-count; the aligned_decode_*_subsample.py script
+    family)."""
+
     data: str = "synthetic"
     target_pt: str = "S14"
     strategy: str = "sep_align"

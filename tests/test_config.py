@@ -61,3 +61,18 @@ def test_required_sentinel():
     with pytest.raises(ValueError):
         load_config(C)
     assert load_config(C, overrides=["a=5"]).a == 5
+
+
+def test_cli_help_renders_for_every_command(capsys):
+    """`cpsd <cmd> --help` shows the config docstring + field defaults."""
+    import pytest as _pytest
+
+    from cross_patient_speech_decoding_tpu.cli.main import main
+
+    for cmd in ("svm-decode", "reproduce", "subsample-grid"):
+        with _pytest.raises(SystemExit) as e:
+            main([cmd, "--help"])
+        assert e.value.code == 0
+        out = capsys.readouterr().out
+        assert "overridable keys" in out
+        assert "target_pt=" in out or "manifest=" in out
