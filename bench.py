@@ -225,7 +225,18 @@ def _run_section(name: str, budget_s: float, agg: Aggregate) -> bool:
         agg.failed.append(name)
         sys.stderr.write(f"bench: section {name} exited rc="
                          f"{proc.returncode}\n")
-        return True
+        # a section crash can mean a crashed TPU worker (e.g. the batched
+        # LU repro, CLAUDE.md) — it recovers in ~1-2 min; give the next
+        # section a live device instead of a cascading failure
+        for _ in range(3):
+            if _tunnel_healthy():
+                return True
+            sys.stderr.write("bench: tunnel unhealthy after section "
+                             "failure; waiting 60s\n")
+            time.sleep(60)
+        sys.stderr.write("bench: tunnel still unhealthy; abandoning "
+                         "remaining sections\n")
+        return False
     frag = _parse_child_json(stdout)
     if frag is None:
         agg.failed.append(name)

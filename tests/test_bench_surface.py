@@ -184,3 +184,13 @@ def test_bench_bad_argv_errors_instead_of_full_run():
     assert bench.main(["--probe"]) == 2
     assert bench.main(["--section"]) == 2
     assert bench.main(["unexpected"]) == 2
+
+
+def test_bench_failed_section_lands_in_sections_failed():
+    rc, out = _run_bench({
+        "BENCH_SECTIONS": "doesnotexist",
+        "BENCH_GLOBAL_BUDGET_S": "60",
+        "BENCH_BUDGET_DOESNOTEXIST": "30",
+    })
+    assert rc == 0
+    assert out["sections_failed"] == ["doesnotexist"]
