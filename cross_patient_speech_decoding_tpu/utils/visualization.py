@@ -208,3 +208,103 @@ def plot_rdm(rdm, labels=None, title=None, cmap="viridis", save_path=None):
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
     return fig
+
+
+# --- figure-style summary plots (the fig_4/fig_5/fig_6 panel forms) --------
+#
+# Style rules (kept deliberately minimal): magnitude-by-category = bars in
+# ONE hue (the category axis carries identity; no per-bar colors), chance /
+# baseline as a labeled neutral reference line, recessive grid, iteration
+# scatter overlaid so the distribution is visible, no rainbow.
+
+_SERIES_HUE = "#2a78d6"
+_NEUTRAL = "#52514e"
+
+
+def _bar_with_points(ax, names, groups, ylabel):
+    """Single-hue bars of group means with per-iteration points overlaid."""
+    means = [float(np.mean(groups[n])) for n in names]
+    ax.bar(names, means, width=0.6, color=_SERIES_HUE, zorder=2)
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(names):
+        vals = np.ravel(np.asarray(groups[n]))
+        jitter = rng.uniform(-0.12, 0.12, len(vals))
+        ax.scatter(i + jitter, vals, s=9, color="#0b0b0b", alpha=0.45,
+                   zorder=3, linewidths=0)
+    ax.set_ylabel(ylabel)
+    ax.grid(axis="y", color="#dddddd", linewidth=0.6, zorder=0)
+    ax.set_axisbelow(True)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+
+
+def plot_group_comparison(groups, ylabel, baseline=None,
+                          baseline_label="chance", title=None,
+                          save_path=None):
+    """Bar panel of a metric across named groups (fig_4's strategy
+    comparison / fig_5's context comparison form): group means as
+    single-hue bars, per-iteration values as points, optional labeled
+    baseline line.
+
+    Args:
+        groups: ordered mapping name -> array of per-iteration values.
+        ylabel: metric name (e.g. 'balanced accuracy', 'PER (%)').
+        baseline: optional horizontal reference (e.g. chance level).
+    """
+    plt = _plt()
+    names = list(groups)
+    fig, ax = plt.subplots(figsize=(1.1 + 0.9 * len(names), 3.0))
+    _bar_with_points(ax, names, groups, ylabel)
+    if baseline is not None:
+        ax.axhline(baseline, color=_NEUTRAL, linewidth=1.0,
+                   linestyle="--", zorder=1)
+        ax.annotate(
+            baseline_label, (0.99, baseline),
+            xycoords=("axes fraction", "data"), ha="right", va="bottom",
+            fontsize=8, color=_NEUTRAL,
+            bbox=dict(boxstyle="round,pad=0.15", facecolor="white",
+                      edgecolor="none", alpha=0.8),
+        )
+    if title:
+        ax.set_title(title, fontsize=10)
+    plt.setp(ax.get_xticklabels(), rotation=20, ha="right")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+        plt.close(fig)
+    return fig
+
+
+def plot_scaling_curve(ks, values, ylabel, fit=None, save_path=None,
+                       xlabel="training trials"):
+    """fig_5's data-scaling panel: metric vs trial count on a log-x
+    axis with the per-k distribution and an optional log-linear fit
+    overlay (utils.scaling.log_linear_fit output)."""
+    plt = _plt()
+    ks = np.asarray(ks, float)
+    vals = [np.ravel(np.asarray(v)) for v in values]
+    means = np.array([v.mean() for v in vals])
+    fig, ax = plt.subplots(figsize=(4.2, 3.0))
+    for k, v in zip(ks, vals):
+        ax.scatter(np.full(len(v), k), v, s=9, color="#0b0b0b",
+                   alpha=0.35, linewidths=0, zorder=2)
+    ax.plot(ks, means, color=_SERIES_HUE, linewidth=2.0, marker="o",
+            markersize=5, zorder=3, label="mean")
+    if fit is not None:
+        xs = np.geomspace(ks.min(), ks.max(), 50)
+        ys = fit["predict"](xs)  # log-log fit in original units
+        ax.plot(xs, ys, color=_NEUTRAL, linewidth=1.2, linestyle="--",
+                zorder=1, label=f"log-linear (slope {fit['slope']:.2f})")
+        ax.legend(frameon=False, fontsize=8)
+    ax.set_xscale("log")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.grid(axis="y", color="#dddddd", linewidth=0.6, zorder=0)
+    ax.set_axisbelow(True)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150)
+        plt.close(fig)
+    return fig

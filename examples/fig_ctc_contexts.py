@@ -15,9 +15,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 
-def main(n_iter: int = 2, epochs: int = 150, **overrides):
+def main(n_iter: int = 2, epochs: int = 150, out_dir: str | None = None,
+         **overrides):
     """``overrides`` are forwarded to :class:`TrainCTCConfig` — e.g.
-    ``synth_patients=2, synth_T=120, decode="greedy"`` for a smoke run."""
+    ``synth_patients=2, synth_T=120, decode="greedy"`` for a smoke run;
+    ``out_dir`` saves the fig_5-style context panel + scaling curve."""
     from cross_patient_speech_decoding_tpu.cli.experiments import run_train_ctc
     from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
     from cross_patient_speech_decoding_tpu.utils.scaling import (
@@ -59,6 +61,26 @@ def main(n_iter: int = 2, epochs: int = 150, **overrides):
     t25 = trials_to_target_per(trials, per_curve, 25.0)
     print(f"log-linear slope {fit['slope']:.3f} (r={fit['r']:.3f}); "
           f"extrapolated trials to 25% PER: {t25:.0f}")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+            plot_scaling_curve,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        p1 = str(Path(out_dir) / "ctc_contexts.png")
+        plot_group_comparison(
+            {k: np.ravel(v) for k, v in pers.items()}, "PER (%)",
+            title="CTC training contexts (fig_5 analog)", save_path=p1,
+        )
+        p2 = str(Path(out_dir) / "ctc_scaling.png")
+        plot_scaling_curve(trials, [np.atleast_1d(v) for v in per_curve],
+                           "PER (%)", fit=fit, save_path=p2)
+        print(f"wrote {p1}, {p2}")
+    return pers
 
 
 if __name__ == "__main__":

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_iter: int = 5):
+def main(n_iter: int = 5, out_dir: str | None = None):
+    """``out_dir`` saves the fig_3-style single/pairwise/pooled panel."""
     from cross_patient_speech_decoding_tpu.analysis import (
         context_comparison_table,
         wilcoxon_signed_rank,
@@ -76,6 +77,22 @@ def main(n_iter: int = 5):
     for i, (al, nu) in enumerate(recon):
         print(f"  pair{i + 1}: aligned recon acc {al:.3f} vs "
               f"unaligned-null {nu:.3f} (chance {1.0 / n_y:.3f})")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        path = str(Path(out_dir) / "decode_comparison.png")
+        plot_group_comparison(
+            groups, "balanced accuracy", baseline=1.0 / n_y,
+            title="Single vs pairwise vs pooled (fig_3 analog)",
+            save_path=path,
+        )
+        print(f"wrote {path}")
     return groups, rows, recon
 
 

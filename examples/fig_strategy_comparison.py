@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_iter: int = 5):
+def main(n_iter: int = 5, out_dir: str | None = None):
+    """``out_dir`` saves the fig_4-style comparison panel as a PNG."""
     from cross_patient_speech_decoding_tpu.cli.experiments import (
         patients_from_config,
     )
@@ -78,6 +79,23 @@ def main(n_iter: int = 5):
         print(f"Wilcoxon {r.a} vs {r.b}: W={r.statistic:.1f} "
               f"p={r.pvalue:.4f} p_fdr={r.pvalue_fdr:.4f}"
               f"{' *' if r.significant else ''}")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        path = str(Path(out_dir) / "strategy_comparison.png")
+        plot_group_comparison(
+            results, "balanced accuracy", baseline=1.0 / n_y,
+            title="Cross-patient pooling strategies (fig_4 analog)",
+            save_path=path,
+        )
+        print(f"wrote {path}")
+    return results
 
 
 if __name__ == "__main__":

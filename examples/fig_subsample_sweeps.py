@@ -19,9 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 import numpy as np
 
 
-def main(n_iter: int = 6, **overrides):
+def main(n_iter: int = 6, out_dir: str | None = None, **overrides):
     """``overrides`` are forwarded to :class:`SubsampleConfig` — e.g.
-    ``trials_per_class=4, k_step=30`` for a smoke run."""
+    ``trials_per_class=4, k_step=30`` for a smoke run; ``out_dir``
+    saves the trial-scaling curve + contact-size panel PNGs."""
     from cross_patient_speech_decoding_tpu.analysis import (
         fdr_bh,
         paired_permutation_test,
@@ -65,6 +66,26 @@ def main(n_iter: int = 6, **overrides):
     for cs, s, p, pf in zip(sizes, stats, pvals, p_fdr):
         print(f"  {cs}x{cs}: acc {res[cs].mean():.3f} "
               f"diff={s:+.3f} p={p:.4f} p_fdr={pf:.4f}")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+            plot_scaling_curve,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        p1 = str(Path(out_dir) / "trial_scaling.png")
+        plot_scaling_curve(ks, list(acc), "balanced accuracy",
+                           save_path=p1)
+        p2 = str(Path(out_dir) / "contact_size.png")
+        groups = {"1x1": full, **{f"{cs}x{cs}": res[cs] for cs in sizes}}
+        plot_group_comparison(
+            groups, "balanced accuracy",
+            title="Contact-size sweep (fig_6 analog)", save_path=p2,
+        )
+        print(f"wrote {p1}, {p2}")
 
 
 if __name__ == "__main__":

@@ -48,15 +48,18 @@ def test_fig_alignment_quality(tmp_path):
     assert (tmp_path / "alignment_2d.png").exists()
 
 
-def test_fig_decode_comparison():
-    groups, rows, recon = _load("fig_decode_comparison").main(n_iter=2)
+def test_fig_decode_comparison(tmp_path):
+    groups, rows, recon = _load("fig_decode_comparison").main(
+        n_iter=2, out_dir=str(tmp_path))
     assert set(groups) >= {"single", "pooled"}
     assert all(0.0 <= a.mean() <= 1.0 for a in groups.values())
     assert len(recon) == 3  # one (aligned, null) pair per cross patient
+    assert (tmp_path / "decode_comparison.png").exists()
 
 
-def test_fig_strategy_comparison():
-    _load("fig_strategy_comparison").main(n_iter=2)
+def test_fig_strategy_comparison(tmp_path):
+    _load("fig_strategy_comparison").main(n_iter=2, out_dir=str(tmp_path))
+    assert (tmp_path / "strategy_comparison.png").exists()
 
 
 def test_fig_latent_clustering():
@@ -73,16 +76,21 @@ def test_fig_latency_analysis():
     assert all(len(s) == 5 for s in dists.values())
 
 
-def test_fig_ctc_contexts(capsys):
+def test_fig_ctc_contexts(capsys, tmp_path):
     _load("fig_ctc_contexts").main(
-        n_iter=1, epochs=2, synth_patients=2, synth_T=120, synth_trials=40,
-        decode="greedy", hidden=32, n_layers=1,
+        n_iter=1, epochs=2, out_dir=str(tmp_path), synth_patients=2,
+        synth_T=120, synth_trials=40, decode="greedy", hidden=32,
+        n_layers=1,
     )
     out = capsys.readouterr().out
     assert "aligned" in out and "PER" in out
+    assert (tmp_path / "ctc_contexts.png").exists()
+    assert (tmp_path / "ctc_scaling.png").exists()
 
 
-def test_fig_subsample_sweeps():
+def test_fig_subsample_sweeps(tmp_path):
     _load("fig_subsample_sweeps").main(
-        n_iter=2, trials_per_class=6, k_step=40,
+        n_iter=2, out_dir=str(tmp_path), trials_per_class=6, k_step=40,
     )
+    assert (tmp_path / "trial_scaling.png").exists()
+    assert (tmp_path / "contact_size.png").exists()
