@@ -17,7 +17,8 @@ import tempfile
 from pathlib import Path
 
 
-def main(n_samples: int = 10):
+def main(n_samples: int = 10, out_dir: str | None = None):
+    """``out_dir`` saves the per-condition latency panel as a PNG."""
     from cross_patient_speech_decoding_tpu.analysis import (
         latency_comparison,
         latency_report,
@@ -57,6 +58,21 @@ def main(n_samples: int = 10):
             print(f"MWU {r.a} vs {r.b}: U={r.statistic:.0f} "
                   f"p={r.pvalue:.4f} p_fdr={r.pvalue_fdr:.4f}"
                   f"{' *' if r.significant else ''}")
+
+        if out_dir:
+            from cross_patient_speech_decoding_tpu.utils.visualization import (
+                plot_group_comparison,
+            )
+
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            path = str(Path(out_dir) / "latency.png")
+            plot_group_comparison(
+                dists, "per-step latency (ms)", baseline=60.0,
+                baseline_label="closed-loop budget",
+                title="Streaming decode latency (supp_fig_20/24 analog)",
+                save_path=path,
+            )
+            print(f"wrote {path}")
     return dists, rows
 
 

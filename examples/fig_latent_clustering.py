@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_iter: int = 10):
+def main(n_iter: int = 10, out_dir: str | None = None):
+    """``out_dir`` saves the silhouette comparison panel as a PNG."""
     from cross_patient_speech_decoding_tpu.analysis import (
         calinski_harabasz,
         davies_bouldin,
@@ -115,6 +116,26 @@ def main(n_iter: int = 10):
               f"p={float(t.pvalue):.4f} p_fdr={pf:.4f}")
     print(f"mean silhouette: unaligned {np.mean(un_sil):.3f}, "
           f"aligned {np.mean(al_sil):.3f}")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        path = str(Path(out_dir) / "latent_clustering.png")
+        plot_group_comparison(
+            {"unaligned": np.asarray(un_sil),
+             "aligned": np.asarray(al_sil),
+             "unaligned-shuf": np.asarray(un_shuf),
+             "aligned-shuf": np.asarray(al_shuf)},
+            "silhouette (t-SNE embedding)",
+            title="Pooled latent clustering (fig_2 analog)",
+            save_path=path,
+        )
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_iter: int = 10):
+def main(n_iter: int = 10, out_dir: str | None = None):
+    """``out_dir`` saves the RDM-similarity panel as a PNG."""
     from cross_patient_speech_decoding_tpu.analysis import (
         compare_rdms,
         fdr_bh,
@@ -81,6 +82,25 @@ def main(n_iter: int = 10):
     for (name, t), pf in zip(tests.items(), p_fdr):
         print(f"Wilcoxon {name}: W={float(t.statistic):.0f} "
               f"p={float(t.pvalue):.4f} p_fdr={pf:.4f}")
+
+    if out_dir:
+        from pathlib import Path
+
+        from cross_patient_speech_decoding_tpu.utils.visualization import (
+            plot_group_comparison,
+        )
+
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        path = str(Path(out_dir) / "rsa.png")
+        plot_group_comparison(
+            {"unaligned": un_corr, "aligned": al_corr,
+             "shuffled": shuf_corr},
+            "cross-patient RDM correlation",
+            title="Representational similarity (fig_6 analog)",
+            save_path=path,
+        )
+        print(f"wrote {path}")
+    return un_corr, al_corr, shuf_corr
 
 
 if __name__ == "__main__":

@@ -62,18 +62,22 @@ def test_fig_strategy_comparison(tmp_path):
     assert (tmp_path / "strategy_comparison.png").exists()
 
 
-def test_fig_latent_clustering():
-    _load("fig_latent_clustering").main(n_iter=3)
+def test_fig_latent_clustering(tmp_path):
+    _load("fig_latent_clustering").main(n_iter=3, out_dir=str(tmp_path))
+    assert (tmp_path / "latent_clustering.png").exists()
 
 
-def test_fig_rsa():
-    _load("fig_rsa").main(n_iter=3)
+def test_fig_rsa(tmp_path):
+    _load("fig_rsa").main(n_iter=3, out_dir=str(tmp_path))
+    assert (tmp_path / "rsa.png").exists()
 
 
-def test_fig_latency_analysis():
-    dists, rows = _load("fig_latency_analysis").main(n_samples=5)
+def test_fig_latency_analysis(tmp_path):
+    dists, rows = _load("fig_latency_analysis").main(
+        n_samples=5, out_dir=str(tmp_path))
     assert set(dists) == {"hidden64", "hidden256"}
     assert all(len(s) == 5 for s in dists.values())
+    assert (tmp_path / "latency.png").exists()
 
 
 def test_fig_ctc_contexts(capsys, tmp_path):
