@@ -228,12 +228,13 @@ def _run_section(name: str, budget_s: float, agg: Aggregate) -> bool:
         # a section crash can mean a crashed TPU worker (e.g. the batched
         # LU repro, CLAUDE.md) — it recovers in ~1-2 min; give the next
         # section a live device instead of a cascading failure
-        for _ in range(3):
+        for attempt in range(3):
             if _tunnel_healthy():
                 return True
-            sys.stderr.write("bench: tunnel unhealthy after section "
-                             "failure; waiting 60s\n")
-            time.sleep(60)
+            if attempt < 2:  # sleep only BETWEEN probes
+                sys.stderr.write("bench: tunnel unhealthy after section "
+                                 "failure; waiting 60s\n")
+                time.sleep(60)
         sys.stderr.write("bench: tunnel still unhealthy; abandoning "
                          "remaining sections\n")
         return False

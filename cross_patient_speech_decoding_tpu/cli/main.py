@@ -63,12 +63,19 @@ def _config_epilog(cfg_cls) -> str:
     with its default (the config docstrings carry the semantics)."""
     import dataclasses
 
+    from cross_patient_speech_decoding_tpu.utils.config import REQUIRED
+
     lines = ["overridable keys (key=value):"]
     for f in dataclasses.fields(cfg_cls):
-        default = f.default
-        if default is dataclasses.MISSING:
-            default = "(required)"
-        lines.append(f"  {f.name}={default!r}")
+        if f.default is dataclasses.MISSING:
+            if f.default_factory is not dataclasses.MISSING:
+                lines.append(f"  {f.name}={f.default_factory()!r}")
+            else:
+                lines.append(f"  {f.name}=(required)")
+        elif f.default is REQUIRED:
+            lines.append(f"  {f.name}=(required)")
+        else:
+            lines.append(f"  {f.name}={f.default!r}")
     return "\n".join(lines)
 
 

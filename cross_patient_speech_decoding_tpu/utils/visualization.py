@@ -272,6 +272,7 @@ def plot_group_comparison(groups, ylabel, baseline=None,
     if save_path:
         fig.savefig(save_path, dpi=150)
         plt.close(fig)
+        return None  # closed figures are not for further use
     return fig
 
 
@@ -307,4 +308,19 @@ def plot_scaling_curve(ks, values, ylabel, fit=None, save_path=None,
     if save_path:
         fig.savefig(save_path, dpi=150)
         plt.close(fig)
+        return None  # closed figures are not for further use
     return fig
+
+
+def save_panel(out_dir, name, plot_fn, *args, **kwargs):
+    """Save one figure panel PNG under ``out_dir`` (created if needed)
+    and report it — the shared tail of every example flow's ``out_dir``
+    option. Returns the written path."""
+    from pathlib import Path
+
+    d = Path(out_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    path = str(d / name)
+    plot_fn(*args, save_path=path, **kwargs)
+    print(f"wrote {path}", flush=True)
+    return path

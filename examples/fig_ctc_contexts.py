@@ -63,23 +63,18 @@ def main(n_iter: int = 2, epochs: int = 150, out_dir: str | None = None,
           f"extrapolated trials to 25% PER: {t25:.0f}")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
             plot_scaling_curve,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        p1 = str(Path(out_dir) / "ctc_contexts.png")
-        plot_group_comparison(
-            {k: np.ravel(v) for k, v in pers.items()}, "PER (%)",
-            title="CTC training contexts (fig_5 analog)", save_path=p1,
-        )
-        p2 = str(Path(out_dir) / "ctc_scaling.png")
-        plot_scaling_curve(trials, [np.atleast_1d(v) for v in per_curve],
-                           "PER (%)", fit=fit, save_path=p2)
-        print(f"wrote {p1}, {p2}")
+        save_panel(out_dir, "ctc_contexts.png", plot_group_comparison,
+                   {k: np.ravel(v) for k, v in pers.items()}, "PER (%)",
+                   title="CTC training contexts (fig_5 analog)")
+        save_panel(out_dir, "ctc_scaling.png", plot_scaling_curve,
+                   trials, [np.atleast_1d(v) for v in per_curve],
+                   "PER (%)", fit=fit)
     return pers
 
 

@@ -79,20 +79,15 @@ def main(n_iter: int = 5, out_dir: str | None = None):
               f"unaligned-null {nu:.3f} (chance {1.0 / n_y:.3f})")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        path = str(Path(out_dir) / "decode_comparison.png")
-        plot_group_comparison(
-            groups, "balanced accuracy", baseline=1.0 / n_y,
-            title="Single vs pairwise vs pooled (fig_3 analog)",
-            save_path=path,
-        )
-        print(f"wrote {path}")
+        save_panel(out_dir, "decode_comparison.png",
+                   plot_group_comparison, groups, "balanced accuracy",
+                   baseline=1.0 / n_y,
+                   title="Single vs pairwise vs pooled (fig_3 analog)")
     return groups, rows, recon
 
 

@@ -62,17 +62,14 @@ def main(n_samples: int = 10, out_dir: str | None = None):
         if out_dir:
             from cross_patient_speech_decoding_tpu.utils.visualization import (
                 plot_group_comparison,
+                save_panel,
             )
 
-            Path(out_dir).mkdir(parents=True, exist_ok=True)
-            path = str(Path(out_dir) / "latency.png")
-            plot_group_comparison(
-                dists, "per-step latency (ms)", baseline=60.0,
-                baseline_label="closed-loop budget",
-                title="Streaming decode latency (supp_fig_20/24 analog)",
-                save_path=path,
-            )
-            print(f"wrote {path}")
+            save_panel(out_dir, "latency.png", plot_group_comparison,
+                       dists, "per-step latency (ms)", baseline=60.0,
+                       baseline_label="closed-loop budget",
+                       title="Streaming decode latency "
+                             "(supp_fig_20/24 analog)")
     return dists, rows
 
 

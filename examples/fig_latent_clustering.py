@@ -118,24 +118,19 @@ def main(n_iter: int = 10, out_dir: str | None = None):
           f"aligned {np.mean(al_sil):.3f}")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        path = str(Path(out_dir) / "latent_clustering.png")
-        plot_group_comparison(
-            {"unaligned": np.asarray(un_sil),
-             "aligned": np.asarray(al_sil),
-             "unaligned-shuf": np.asarray(un_shuf),
-             "aligned-shuf": np.asarray(al_shuf)},
-            "silhouette (t-SNE embedding)",
-            title="Pooled latent clustering (fig_2 analog)",
-            save_path=path,
-        )
-        print(f"wrote {path}")
+        save_panel(out_dir, "latent_clustering.png",
+                   plot_group_comparison,
+                   {"unaligned": np.asarray(un_sil),
+                    "aligned": np.asarray(al_sil),
+                    "unaligned-shuf": np.asarray(un_shuf),
+                    "aligned-shuf": np.asarray(al_shuf)},
+                   "silhouette (t-SNE embedding)",
+                   title="Pooled latent clustering (fig_2 analog)")
 
 
 if __name__ == "__main__":

@@ -84,22 +84,16 @@ def main(n_iter: int = 10, out_dir: str | None = None):
               f"p={float(t.pvalue):.4f} p_fdr={pf:.4f}")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        path = str(Path(out_dir) / "rsa.png")
-        plot_group_comparison(
-            {"unaligned": un_corr, "aligned": al_corr,
-             "shuffled": shuf_corr},
-            "cross-patient RDM correlation",
-            title="Representational similarity (fig_6 analog)",
-            save_path=path,
-        )
-        print(f"wrote {path}")
+        save_panel(out_dir, "rsa.png", plot_group_comparison,
+                   {"unaligned": un_corr, "aligned": al_corr,
+                    "shuffled": shuf_corr},
+                   "cross-patient RDM correlation",
+                   title="Representational similarity (fig_6 analog)")
     return un_corr, al_corr, shuf_corr
 
 

@@ -81,20 +81,15 @@ def main(n_iter: int = 5, out_dir: str | None = None):
               f"{' *' if r.significant else ''}")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        path = str(Path(out_dir) / "strategy_comparison.png")
-        plot_group_comparison(
-            results, "balanced accuracy", baseline=1.0 / n_y,
-            title="Cross-patient pooling strategies (fig_4 analog)",
-            save_path=path,
-        )
-        print(f"wrote {path}")
+        save_panel(out_dir, "strategy_comparison.png",
+                   plot_group_comparison, results, "balanced accuracy",
+                   baseline=1.0 / n_y,
+                   title="Cross-patient pooling strategies (fig_4 analog)")
     return results
 
 

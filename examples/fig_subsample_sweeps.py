@@ -53,7 +53,8 @@ def main(n_iter: int = 6, out_dir: str | None = None, **overrides):
 
     # --- contact-size sweep + permutation test vs full resolution ---------
     res = run_spatial_avg(cfg, verbose=False)
-    base = SubsampleConfig(contact_sizes=(1,), **hard)
+    base = SubsampleConfig(contact_sizes=(1,), **{
+        k: v for k, v in hard.items() if k != "contact_sizes"})
     full = run_spatial_avg(base, verbose=False)[1]
     stats, pvals, sizes = [], [], []
     for cs, accs in res.items():
@@ -68,24 +69,18 @@ def main(n_iter: int = 6, out_dir: str | None = None, **overrides):
               f"diff={s:+.3f} p={p:.4f} p_fdr={pf:.4f}")
 
     if out_dir:
-        from pathlib import Path
-
         from cross_patient_speech_decoding_tpu.utils.visualization import (
             plot_group_comparison,
             plot_scaling_curve,
+            save_panel,
         )
 
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
-        p1 = str(Path(out_dir) / "trial_scaling.png")
-        plot_scaling_curve(ks, list(acc), "balanced accuracy",
-                           save_path=p1)
-        p2 = str(Path(out_dir) / "contact_size.png")
+        save_panel(out_dir, "trial_scaling.png", plot_scaling_curve,
+                   ks, list(acc), "balanced accuracy")
         groups = {"1x1": full, **{f"{cs}x{cs}": res[cs] for cs in sizes}}
-        plot_group_comparison(
-            groups, "balanced accuracy",
-            title="Contact-size sweep (fig_6 analog)", save_path=p2,
-        )
-        print(f"wrote {p1}, {p2}")
+        save_panel(out_dir, "contact_size.png", plot_group_comparison,
+                   groups, "balanced accuracy",
+                   title="Contact-size sweep (fig_6 analog)")
 
 
 if __name__ == "__main__":
