@@ -194,3 +194,15 @@ def test_bench_failed_section_lands_in_sections_failed():
     })
     assert rc == 0
     assert out["sections_failed"] == ["doesnotexist"]
+
+
+def test_probes_registry_and_unknown_name():
+    sys.path.insert(0, str(ROOT))
+    from tools import probes
+
+    assert set(probes.PROBES) == {
+        "ctc_stages", "s2s_stages", "foldpar_pallas",
+        "ctc_driver_overhead", "bf16_parity",
+    }
+    assert all(callable(f) for f in probes.PROBES.values())
+    assert probes.run("no_such_probe", []) == 2
