@@ -253,3 +253,40 @@ def test_one_hot_decode_and_decode_seq2seq():
     preds, true = decode_seq2seq(model, variables, X, y)
     assert preds.shape == true.shape == (15,)
     assert set(np.unique(preds)) <= set(range(4))
+
+
+def test_plot_group_comparison_and_scaling_curve(tmp_path):
+    """Round-4 figure panels: save-and-close returns None; files render;
+    single-group and baseline edge cases don't crash."""
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.utils.scaling import (
+        log_linear_fit,
+    )
+    from cross_patient_speech_decoding_tpu.utils.visualization import (
+        plot_group_comparison,
+        plot_scaling_curve,
+        save_panel,
+    )
+
+    rng = np.random.default_rng(0)
+    groups = {"a": rng.random(6), "b": rng.random(6)}
+    out = plot_group_comparison(groups, "acc", baseline=0.1,
+                                save_path=str(tmp_path / "g.png"))
+    assert out is None and (tmp_path / "g.png").exists()
+    fig = plot_group_comparison({"only": rng.random(3)}, "acc")
+    assert fig is not None  # open figure when not saving
+
+    ks = np.array([5, 20, 80])
+    vals = [rng.random(4) * 50 + 20 for _ in ks]
+    fit = log_linear_fit(ks, np.array([v.mean() for v in vals]))
+    out = plot_scaling_curve(ks, vals, "PER (%)", fit=fit,
+                             save_path=str(tmp_path / "s.png"))
+    assert out is None and (tmp_path / "s.png").exists()
+
+    p = save_panel(str(tmp_path / "sub"), "p.png", plot_group_comparison,
+                   groups, "acc")
+    assert p.endswith("sub/p.png")
+    import os
+
+    assert os.path.exists(p)
