@@ -403,3 +403,36 @@ def test_realtime_rnn_windowed_path_matches_materialized(monkeypatch):
     reinit = model.init({"params": jax.random.key(0)}, x, True)
     assert jax.tree_util.tree_structure(reinit) == \
         jax.tree_util.tree_structure(variables)
+
+
+def test_windowed_vmap_over_per_instance_weights():
+    """Pallas' batching rule prepends the vmapped axis to the windowed
+    kernel's grid (one launch); parity vs per-instance references.
+    Shipped drivers never hit this (the sweep trainers run
+    disable_pallas_gru), but a user vmapping RealtimeRNN must not get
+    silent garbage."""
+    from cross_patient_speech_decoding_tpu.models.layers import (
+        reformat_time_windows,
+    )
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    rng = np.random.default_rng(0)
+    E, T, B, C, H, win, stride = 3, 18, 16, 4, 24, 6, 2
+    F = win * C
+    x = jnp.asarray(rng.normal(size=(E, T, B, C)) * .5, jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(E, B, H)) * .3, jnp.float32)
+    wi = jnp.asarray(rng.normal(size=(E, F, 3 * H)) / np.sqrt(F), jnp.float32)
+    bi = jnp.asarray(rng.normal(size=(E, 3 * H)) * .1, jnp.float32)
+    wh = jnp.asarray(rng.normal(size=(E, H, 3 * H)) / np.sqrt(H), jnp.float32)
+    bh = jnp.asarray(rng.normal(size=(E, 3 * H)) * .1, jnp.float32)
+    out = jax.vmap(lambda *a: gru_layer_windowed(*a, win, stride))(
+        x, h0, wi, bi, wh, bh)
+    ref = jnp.stack([
+        gru_layer_reference(
+            reformat_time_windows(x[e].swapaxes(0, 1), win,
+                                  stride).swapaxes(0, 1),
+            h0[e], wi[e], bi[e], wh[e], bh[e])
+        for e in range(E)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
