@@ -236,16 +236,23 @@ def probe_foldpar_pallas(argv):
 
     out = {}
     for impl in (argv or ["pallas", "scan"]):
-        fn = make_seq2seq_fold_trainer_fn(model, rnn_impl=impl)
-        t0 = time.perf_counter()
-        a, _ = fn(X, y, w, te, 0, epochs)
-        _ = float(a[0])
-        out[f"{impl}_first_call_s"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        a, _ = fn(X, y, w, te, 1, epochs)
-        _ = float(a[0])
-        out[f"{impl}_warm_ms_per_epoch"] = (
-            (time.perf_counter() - t0) / epochs * 1e3)
+        # per-arm isolation: the scan fold-parallel program reproducibly
+        # crashes the remote compile at reference scale (docs/ROUND3.md;
+        # the reason rnn_impl='pallas' is the production choice) — one
+        # arm's failure must not take down the probe's JSON line
+        try:
+            fn = make_seq2seq_fold_trainer_fn(model, rnn_impl=impl)
+            t0 = time.perf_counter()
+            a, _ = fn(X, y, w, te, 0, epochs)
+            _ = float(a[0])
+            out[f"{impl}_first_call_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            a, _ = fn(X, y, w, te, 1, epochs)
+            _ = float(a[0])
+            out[f"{impl}_warm_ms_per_epoch"] = (
+                (time.perf_counter() - t0) / epochs * 1e3)
+        except Exception as e:
+            out[f"{impl}_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
