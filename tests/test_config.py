@@ -76,3 +76,21 @@ def test_cli_help_renders_for_every_command(capsys):
         out = capsys.readouterr().out
         assert "overridable keys" in out
         assert "target_pt=" in out or "manifest=" in out
+
+
+def test_cli_main_dispatches_reproduce(tmp_path):
+    """End-to-end through cpsd main(): a dry-run reproduce returns 0 and
+    honors the manifest."""
+    import yaml
+
+    from cross_patient_speech_decoding_tpu.cli.main import main
+
+    m = tmp_path / "m.yaml"
+    m.write_text(yaml.safe_dump({
+        "defaults": {"data": "synthetic"},
+        "jobs": [{"command": "svm-decode",
+                  "matrix": {"target_pt": ["S14", "S26"]},
+                  "overrides": {"n_iter": 1,
+                                "out": str(tmp_path) + "/{target_pt}.pkl"}}],
+    }))
+    assert main(["reproduce", f"manifest={m}", "dry_run=true"]) == 0
