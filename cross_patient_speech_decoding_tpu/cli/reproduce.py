@@ -83,10 +83,27 @@ def expand_manifest(manifest: dict) -> list[dict]:
             point = dict(zip(keys, combo))
             values = {**defaults, **overrides, **point}
             soft = set(defaults) - set(overrides) - set(point)
-            fmt = {**values}
-            for k, v in values.items():
-                if isinstance(v, str) and "{" in v:
-                    values[k] = v.format(**fmt)
+            # iterate until stable: a templated value may reference another
+            # value that is itself templated (e.g. a default out-dir built
+            # from a templated run name); a single pass against a snapshot
+            # would bake in the unexpanded intermediate. Bounded passes so
+            # a self-referencing template fails loudly instead of spinning.
+            for _ in range(8):
+                changed = False
+                for k, v in values.items():
+                    if isinstance(v, str) and "{" in v:
+                        new = v.format(**values)
+                        if new != v:
+                            values[k] = new
+                            changed = True
+                if not changed:
+                    break
+            else:
+                cyclic = {k: v for k, v in values.items()
+                          if isinstance(v, str) and "{" in v}
+                raise ValueError(
+                    f"job #{j}: template expansion did not converge "
+                    f"(cyclic references?): {cyclic}")
             label = job.get("name", command)
             if point:
                 label += "[" + ",".join(f"{k}={v}" for k, v in point.items()) + "]"

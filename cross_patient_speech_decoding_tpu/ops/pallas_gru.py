@@ -448,7 +448,16 @@ def gru_layer_windowed(x, h0, wi, bi, wh, bh, win: int, stride: int,
         grads via the custom VJP.
     """
     T, B, C = x.shape
+    if win < 1 or stride < 1:
+        raise ValueError(f"win={win} and stride={stride} must be >= 1")
     n_win = (T - win) // stride + 1
+    if n_win < 1:
+        # fail here with the numbers, not as an opaque slab-reshape /
+        # pallas-grid compile error downstream
+        raise ValueError(
+            f"sequence too short for windowing: T={T} < win={win} "
+            f"(stride={stride}) yields n_win={n_win}"
+        )
     H = wh.shape[0]
     Hp = _round_up(H, LANE)
     if B <= 8:

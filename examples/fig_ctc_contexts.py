@@ -28,6 +28,14 @@ def main(n_iter: int = 2, epochs: int = 150, out_dir: str | None = None,
     )
 
     n_iter, epochs = int(n_iter), int(epochs)
+    clash = {"context", "n_iter", "epochs"} & set(overrides)
+    if clash:
+        # these are explicit arguments of main()/the context loop — an
+        # override would raise an opaque duplicate-keyword TypeError below
+        raise ValueError(
+            f"pass {sorted(clash)} as main() arguments, not overrides "
+            "(context is swept over all four values by this flow)"
+        )
     pers = {}
     for context in ("chance", "patient", "unaligned", "aligned"):
         kw = dict(hidden=128, n_layers=2, lr=3e-3, decay_steps=epochs,

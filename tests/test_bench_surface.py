@@ -103,6 +103,37 @@ def test_bench_aggregate_line_always_parses():
     assert out["sections_timed_out"] == ["seq2seq"]
 
 
+def test_bench_realtime_keys_are_dispatch_labeled():
+    """Round-5 rename (VERDICT #7): the per-step latency keys must say
+    'dispatch' so cross-round consumers don't read tunnel dispatch time
+    as device-kernel latency; the amortized key is the compute truth."""
+    bench = _load("bench")
+    agg = bench.Aggregate()
+    agg.frag.update({
+        "realtime_amortized_ms_per_bin": 0.07,
+        "realtime_p50_dispatch_ms": 1.2,
+        "realtime_max_dispatch_ms": 2.4,
+    })
+    out = __import__("json").loads(agg.line())
+    assert out["realtime_p50_dispatch_ms"] == 1.2
+    assert out["realtime_max_dispatch_ms"] == 2.4
+    assert "realtime_p50_ms" not in out and "realtime_max_ms" not in out
+
+
+def test_bench_relay_probe_gated_on_axon_host(monkeypatch):
+    """Round-4 advisor: on a host without the axon relay (no .axon_site
+    PYTHONPATH hook), a refused TCP connect must not condemn the
+    backend — the relay probe is skipped entirely."""
+    bench = _load("bench")
+    monkeypatch.setenv("PYTHONPATH", "/some/ordinary/path")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert not bench._axon_relay_in_play()
+    monkeypatch.setenv("PYTHONPATH", "/root/.axon_site")
+    assert bench._axon_relay_in_play()
+    monkeypatch.setenv("BENCH_AXON_RELAY", "0")  # explicit opt-out
+    assert not bench._axon_relay_in_play()
+
+
 def test_bench_parse_child_json_takes_last_object():
     bench = _load("bench")
     stdout = "noise\n{\"a\": 1}\nwarn\n{\"b\": 2}\n"

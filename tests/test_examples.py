@@ -92,6 +92,15 @@ def test_fig_ctc_contexts(capsys, tmp_path):
     assert (tmp_path / "ctc_scaling.png").exists()
 
 
+def test_fig_ctc_contexts_rejects_clashing_overrides():
+    """'context'/'n_iter'/'epochs' in **overrides used to surface as a
+    duplicate-keyword TypeError (round-4 advisor finding)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="context"):
+        _load("fig_ctc_contexts").main(n_iter=1, epochs=2, context="aligned")
+
+
 def test_fig_subsample_sweeps(tmp_path):
     _load("fig_subsample_sweeps").main(
         n_iter=2, out_dir=str(tmp_path), trials_per_class=6, k_step=40,

@@ -363,6 +363,20 @@ def test_windowed_no_input_cotangent():
     assert float(jnp.abs(g).max()) == 0.0
 
 
+def test_windowed_rejects_short_sequence_and_bad_stride():
+    """T < win (or stride < 1) must fail with a clear ValueError, not an
+    opaque slab-reshape/pallas-grid error (round-4 advisor finding)."""
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer_windowed,
+    )
+
+    x, h0, wi, bi, wh, bh = _win_case(T=4)  # T=4 < win=6
+    with pytest.raises(ValueError, match="n_win"):
+        gru_layer_windowed(x, h0, wi, bi, wh, bh, 6, 2)
+    with pytest.raises(ValueError, match="stride"):
+        gru_layer_windowed(x, h0, wi, bi, wh, bh, 4, 0)
+
+
 def test_windowed_trailing_frames_and_batch_padding():
     # T=27 with win 6 / stride 2 leaves one unused trailing frame; B=10
     # forces batch padding. Both must not perturb results.

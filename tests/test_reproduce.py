@@ -38,6 +38,31 @@ def test_expand_manifest_cross_product_and_templates():
         "S14", "S14", "S26", "S26"]
 
 
+def test_expand_manifest_chained_templates_resolve():
+    """A templated value referencing ANOTHER templated value resolves to
+    the final string, not the unexpanded intermediate (round-4 advisor
+    finding: expansion was single-pass against a snapshot)."""
+    manifest = {
+        "defaults": {"run_name": "{target_pt}_{strategy}",
+                     "out": "r/{run_name}.pkl"},
+        "jobs": [{
+            "command": "svm-decode",
+            "matrix": {"target_pt": ["S14"], "strategy": ["sep_align"]},
+        }],
+    }
+    (job,) = expand_manifest(manifest)
+    assert job["values"]["out"] == "r/S14_sep_align.pkl"
+
+
+def test_expand_manifest_cyclic_templates_fail_loudly():
+    manifest = {
+        "defaults": {"a": "{b}x", "b": "{a}y"},
+        "jobs": [{"command": "svm-decode"}],
+    }
+    with pytest.raises(ValueError, match="converge"):
+        expand_manifest(manifest)
+
+
 def test_expand_manifest_rejects_bad_shapes():
     with pytest.raises(ValueError):
         expand_manifest({"jobs": []})
