@@ -1332,6 +1332,40 @@ def _same_run_config(stored: dict, current: dict) -> bool:
     return all(stored.get(k) == current.get(k) for k in keys)
 
 
+# retained set-aside copies per result stem: repeated config-mismatched
+# reruns (smoke tests, bench loops) must leave a BOUNDED footprint while
+# the newest few mismatched stores — the ones a user might still want —
+# survive (round-4 verdict: 45 unreclaimed .staleN files in results/)
+STALE_KEEP = 10
+
+
+def _set_aside_stale(p: Path) -> Path:
+    """Move a config-mismatched results file into the ``_stale/`` sidecar
+    next to it (timestamped, collision-safe), then prune that stem's
+    set-asides to the newest :data:`STALE_KEEP`."""
+    import time as _time
+
+    stale_dir = p.parent / "_stale"
+    stale_dir.mkdir(parents=True, exist_ok=True)
+    ts = _time.strftime("%Y%m%d-%H%M%S")
+    stale = stale_dir / f"{ts}_{p.name}"
+    n = 1
+    while stale.exists():
+        stale = stale_dir / f"{ts}.{n}_{p.name}"
+        n += 1
+    p.rename(stale)
+    # rename preserves the results file's own mtime, so ordering by it
+    # keeps the most recently WRITTEN stores (ns resolution breaks
+    # same-second ties from rapid reruns)
+    olds = sorted(
+        (f for f in stale_dir.glob(f"*_{p.name}") if f.is_file()),
+        key=lambda f: f.stat().st_mtime_ns,
+    )
+    for f in olds[:-STALE_KEEP]:
+        f.unlink()
+    return stale
+
+
 def _completed_results(out_path: str, params: dict, scalar: bool = True,
                        set_aside: bool = True):
     """Previously persisted per-iteration results, for kill-and-resume.
@@ -1339,12 +1373,14 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True,
     The reference sketched this as ``get_completed_iters`` scanning
     ``iter_{i}/result.pt`` files (tune_ctc_rnn.py:905-921, commented out);
     here the incremental results pickle *is* the manifest. A file written
-    by a DIFFERENT config is set aside (renamed ``*.stale``, never
-    deleted — prior expensive TPU results survive even a crash right
-    after the rename) so stale results can never masquerade as this
-    run's. ``set_aside=False`` makes the check READ-ONLY (mismatches
-    return [] without touching the file) — preview paths like
-    ``cpsd reproduce dry_run=true`` must not mutate result files.
+    by a DIFFERENT config is set aside (moved into a timestamped
+    ``_stale/`` sidecar, pruned to the newest :data:`STALE_KEEP` copies
+    per stem — never deleted in-flight, so prior expensive TPU results
+    survive even a crash right after the rename) so stale results can
+    never masquerade as this run's. ``set_aside=False`` makes the check
+    READ-ONLY (mismatches return [] without touching the file) — preview
+    paths like ``cpsd reproduce dry_run=true`` must not mutate result
+    files.
     """
     if not out_path:
         return []
@@ -1355,14 +1391,7 @@ def _completed_results(out_path: str, params: dict, scalar: bool = True,
     if not _same_run_config(store.get("params", {}), params):
         if not set_aside:
             return []
-        # unique suffix: a second mismatch must never destroy the first
-        # set-aside file
-        stale = p.with_name(p.name + ".stale")
-        n = 1
-        while stale.exists():
-            stale = p.with_name(f"{p.name}.stale{n}")
-            n += 1
-        p.rename(stale)
+        stale = _set_aside_stale(p)
         print(f"config mismatch: prior results moved to {stale}", flush=True)
         return []
     accs = store.get("accs", [])

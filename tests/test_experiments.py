@@ -319,26 +319,41 @@ def test_resume_ignores_other_configs_results(tmp_path):
     np.testing.assert_allclose(shared, solo)
 
 
-def test_stale_results_never_destroyed(tmp_path):
-    """Repeated config mismatches set each prior file aside under a UNIQUE
-    suffix — the second mismatch must not unlink the first .stale archive
-    (round-3 review finding) — and out='' skips the resume scan entirely
+def test_stale_results_set_aside_bounded(tmp_path):
+    """Config mismatches move prior files into a timestamped _stale/
+    sidecar (each under a UNIQUE name — a second mismatch must not
+    destroy the first archive, round-3 review finding), and repeated
+    mismatched reruns leave a BOUNDED footprint (round-4 verdict: 45
+    unreclaimed .staleN files). out='' skips the resume scan entirely
     instead of treating Path('') as the cwd."""
+    from cross_patient_speech_decoding_tpu.cli import experiments as exp
     from cross_patient_speech_decoding_tpu.cli.experiments import (
         _completed_results,
     )
     from cross_patient_speech_decoding_tpu.data.loaders import (
         append_results_pkl,
+        load_pkl,
     )
 
     out = tmp_path / "r.pkl"
-    for i in range(3):
+    n_runs = exp.STALE_KEEP + 5
+    for i in range(n_runs):
         append_results_pkl(str(out), np.asarray([float(i)]),
                            params={"cfg": i})
         got = _completed_results(str(out), {"cfg": i + 100})  # mismatch
         assert got == []
-    archived = sorted(p.name for p in tmp_path.glob("r.pkl.stale*"))
-    assert archived == ["r.pkl.stale", "r.pkl.stale1", "r.pkl.stale2"]
+        assert not out.exists()  # always moved, never left in place
+    archived = sorted((tmp_path / "_stale").glob("*_r.pkl"))
+    # bounded at STALE_KEEP, newest retained (the last one holds cfg=n-1)
+    assert len(archived) == exp.STALE_KEEP
+    newest = max(archived, key=lambda p: p.stat().st_mtime_ns)
+    assert load_pkl(newest)["params"]["cfg"] == n_runs - 1
+    # a sibling result's set-asides are NOT pruned by this stem's cap
+    other = tmp_path / "other.pkl"
+    append_results_pkl(str(other), np.asarray([0.0]), params={"cfg": 0})
+    _completed_results(str(other), {"cfg": 1})
+    assert len(list((tmp_path / "_stale").glob("*_other.pkl"))) == 1
+    assert len(list((tmp_path / "_stale").glob("*_r.pkl"))) == exp.STALE_KEEP
 
     assert _completed_results("", {"cfg": 0}) == []
 
