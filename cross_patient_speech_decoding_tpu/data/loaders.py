@@ -87,6 +87,29 @@ def load_subject_phoneme_data(data_dir: str | Path, pt: str, n_phon: int = 3,
     return subj
 
 
+def save_high_gamma_mat(path: str | Path, X: np.ndarray,
+                        y_seq: np.ndarray,
+                        hg_trace: np.ndarray | None = None,
+                        cs: dict[str, np.ndarray] | None = None):
+    """Write the reference .mat layout (inverse of
+    :func:`load_high_gamma_mat`): ``hgMap`` (trials, time, channels),
+    ``phonSeqLabels`` (trials, L), ``hgTrace`` (trials, cx, cy, time)
+    when given (reference files carry both; ``get_high_gamma_data``
+    reads both unconditionally, feature_data_from_mat.py:140-162), and
+    pre-averaged ``cs_{a}x{b}`` arrays for the spatial-avg loader
+    (:165-185). Cross-read parity with the reference's own loader is
+    pinned by tests/test_reference_reader_parity.py."""
+    from scipy.io import savemat
+
+    data: dict = {"hgMap": np.asarray(X), "phonSeqLabels": np.asarray(y_seq)}
+    if hg_trace is not None:
+        data["hgTrace"] = np.asarray(hg_trace)
+    for k, v in (cs or {}).items():
+        data[f"cs_{k}" if not k.startswith("cs_") else k] = np.asarray(v)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    savemat(str(path), data)
+
+
 # -------------------------------------------------- electrode geometry ----
 
 def load_channel_map(data_dir: str | Path, pt: str, trim: bool = True):
