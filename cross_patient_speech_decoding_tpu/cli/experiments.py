@@ -337,12 +337,6 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
 
     mesh = None
     if getattr(cfg, "n_devices", 0) > 0:
-        if cfg.nested:
-            raise ValueError(
-                "nested=true does not support n_devices: the TPE search "
-                "is host-driven per outer fold (its inner scoring is "
-                "already device-batched); run nested on one chip"
-            )
         from cross_patient_speech_decoding_tpu.parallel import make_mesh
 
         mesh = make_mesh(cfg.n_devices)
@@ -360,7 +354,9 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
     if cfg.nested:
         # per-outer-fold TPE hyperparameter search (BayesSearchCV analog,
         # aligned_decode_svm_ncv.py:398-404); the per-fold best hparams are
-        # persisted next to the accuracies
+        # persisted next to the accuracies. With n_devices the OUTER-FOLD
+        # axis shards over the mesh (embarrassingly parallel, like the
+        # fixed-param fold sharding); the TPE proposal step stays host-side
         from cross_patient_speech_decoding_tpu.decoders.nested_cv import (
             nested_cv_decode_bayes,
         )
@@ -373,6 +369,7 @@ def run_svm_decode(cfg: SVMDecodeConfig, verbose: bool = True):
                 seed=cfg.seed + 104729 * it,
                 train_frac=cfg.trial_subsample,
                 return_preds=cfg.save_preds,
+                mesh=mesh,
             )
             extra = {}
             if cfg.save_preds:

@@ -127,7 +127,8 @@ def make_nested_cv_decoder(
 
 
 def make_candidate_scorer(strategy: str, cfg: DecodeConfig,
-                          fit_batch: int = 100):
+                          fit_batch: int = 100, mesh=None,
+                          fold_axis: str = "data"):
     """Jitted scorer: mean inner-CV accuracy of a (n_outer, B) candidate
     table — one XLA launch per proposal round of the Bayesian search.
 
@@ -136,12 +137,30 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig,
     width the fixed-param fold program runs at reference scale). A plain
     per-outer-fold map would leave the chip ~4x under-batched (25-wide
     vmaps, sequential over 20 folds).
+
+    With ``mesh`` given, the OUTER-FOLD axis is sharded over the mesh's
+    ``fold_axis`` instead of lax.map-chunked: outer folds are
+    embarrassingly parallel (the reference farms the whole experiment out
+    as SLURM job arrays, README.md:27), data/params replicate, and each
+    chip scores its fold slice with zero hot-path collectives — the same
+    layout as the fixed-param fold sharding (decoders.pooled
+    make_cv_decoder). Fold counts that don't divide the mesh are padded
+    with repeated fold rows and sliced after.
     """
     fold_fn = _STRATEGIES[strategy]
 
     def eval_candidate(tar, cross, tr, te, hp):
         acc, _ = fold_fn(tar, cross, tr, te, cfg, hp=hp)
         return acc
+
+    def one_outer_scores(tar, cross, itr, ite, hp_row):
+        def cand_score(hp):
+            inner = jax.vmap(
+                eval_candidate, in_axes=(None, None, 0, 0, None)
+            )(tar, cross, itr, ite, hp)
+            return jnp.mean(inner)
+
+        return jax.vmap(cand_score)(hp_row)
 
     def score(tar, cross, inner_tr, inner_te, hp_table):
         # hp_table: dict of (n_outer, B); inner_tr/te: (n_outer, n_inner, N)
@@ -151,14 +170,7 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig,
 
         def one_outer(args):
             itr, ite, hp_row = args
-
-            def cand_score(hp):
-                inner = jax.vmap(
-                    eval_candidate, in_axes=(None, None, 0, 0, None)
-                )(tar, cross, itr, ite, hp)
-                return jnp.mean(inner)
-
-            return jax.vmap(cand_score)(hp_row)
+            return one_outer_scores(tar, cross, itr, ite, hp_row)
 
         return jax.lax.map(
             one_outer, (inner_tr, inner_te, hp_table), batch_size=bs
@@ -176,20 +188,89 @@ def make_candidate_scorer(strategy: str, cfg: DecodeConfig,
             one, (train_masks, test_masks, hp_best), batch_size=bs
         )
 
-    return jax.jit(score), jax.jit(final_eval)
+    if mesh is None:
+        return jax.jit(score), jax.jit(final_eval)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    n_dev = mesh.shape[fold_axis]
+
+    def fsh(ndim):
+        return NamedSharding(mesh, P(fold_axis, *([None] * (ndim - 1))))
+
+    def score_vmapped(tar, cross, inner_tr, inner_te, hp_table):
+        return jax.vmap(
+            one_outer_scores, in_axes=(None, None, 0, 0, 0)
+        )(tar, cross, inner_tr, inner_te, hp_table)
+
+    def final_vmapped(tar, cross, train_masks, test_masks, hp_best):
+        return jax.vmap(
+            lambda tr, te, hp: fold_fn(tar, cross, tr, te, cfg, hp=hp)
+        )(train_masks, test_masks, hp_best)
+
+    score_j = jax.jit(
+        score_vmapped,
+        in_shardings=(repl, repl, fsh(3), fsh(3), fsh(2)),
+        out_shardings=fsh(2),
+    )
+    final_j = jax.jit(
+        final_vmapped,
+        in_shardings=(repl, repl, fsh(2), fsh(2), fsh(1)),
+        out_shardings=(fsh(1), fsh(2)),
+    )
+
+    def _pad_folds(a, pad):
+        # repeat leading fold rows (cheap, sliced away after) so the fold
+        # axis divides the mesh; jnp.take handles pad > n by wrapping
+        if pad == 0:
+            return a
+        idx = jnp.arange(a.shape[0] + pad) % a.shape[0]
+        return jnp.take(a, idx, axis=0)
+
+    def sharded_score(tar, cross, inner_tr, inner_te, hp_table):
+        n = inner_tr.shape[0]
+        pad = (-n) % n_dev
+        out = score_j(
+            jax.device_put(tar, repl),
+            jax.device_put(cross, repl),
+            jax.device_put(_pad_folds(inner_tr, pad), fsh(3)),
+            jax.device_put(_pad_folds(inner_te, pad), fsh(3)),
+            {k: jax.device_put(_pad_folds(v, pad), fsh(2))
+             for k, v in hp_table.items()},
+        )
+        return out[:n]
+
+    def sharded_final(tar, cross, train_masks, test_masks, hp_best):
+        n = train_masks.shape[0]
+        pad = (-n) % n_dev
+        accs, preds = final_j(
+            jax.device_put(tar, repl),
+            jax.device_put(cross, repl),
+            jax.device_put(_pad_folds(train_masks, pad), fsh(2)),
+            jax.device_put(_pad_folds(test_masks, pad), fsh(2)),
+            {k: jax.device_put(_pad_folds(v, pad), fsh(1))
+             for k, v in hp_best.items()},
+        )
+        return accs[:n], preds[:n]
+
+    return sharded_score, sharded_final
 
 
 _SCORER_CACHE: dict = {}
 
 
-def _cached_scorer(strategy: str, cfg: DecodeConfig, fit_batch: int):
+def _cached_scorer(strategy: str, cfg: DecodeConfig, fit_batch: int,
+                   mesh=None):
     """One jitted (score, final_eval) pair per configuration: the driver
     calls nested_cv_decode_bayes once per iteration (50x per experiment)
     and a fresh jax.jit wrapper each time would retrace the large nested
-    programs every iteration."""
-    key = (strategy, tuple(sorted(vars(cfg).items())), fit_batch)
+    programs every iteration. (jax Mesh is hashable and participates in
+    the key, so single-chip and sharded scorers coexist.)"""
+    key = (strategy, tuple(sorted(vars(cfg).items())), fit_batch, mesh)
     if key not in _SCORER_CACHE:
-        _SCORER_CACHE[key] = make_candidate_scorer(strategy, cfg, fit_batch)
+        _SCORER_CACHE[key] = make_candidate_scorer(strategy, cfg, fit_batch,
+                                                   mesh=mesh)
     return _SCORER_CACHE[key]
 
 
@@ -206,6 +287,7 @@ def nested_cv_decode_bayes(
     train_frac: float = 1.0,
     return_preds: bool = False,
     fit_batch: int = 100,
+    mesh=None,
 ):
     """Nested CV with sequential TPE acquisition — the direct analog of the
     reference's ``BayesSearchCV(n_iter=25, n_points=5)``
@@ -214,6 +296,11 @@ def nested_cv_decode_bayes(
     inner-CV history. Device work stays batched: every round scores the
     whole (n_outer x n_points) table in one jitted launch; only the
     proposal step (tiny numpy TPE) runs on host.
+
+    With ``mesh`` given, the outer-fold axis of both the scoring and the
+    final refit shards over the mesh (see :func:`make_candidate_scorer`) —
+    the paper's headline experiment scales across chips like the
+    fixed-param path.
 
     ``train_frac < 1`` applies the reference's ``-tss`` stratified
     target-train subsampling per outer fold BEFORE the search
@@ -248,7 +335,7 @@ def nested_cv_decode_bayes(
     for k in range(n_folds):
         itr[k], ite[k] = inner_cv_masks(tr[k], y, n_inner, rng)
 
-    score, final_eval = _cached_scorer(strategy, cfg, fit_batch)
+    score, final_eval = _cached_scorer(strategy, cfg, fit_batch, mesh=mesh)
     cross = tuple(cross)
     itr_j, ite_j = jnp.asarray(itr), jnp.asarray(ite)
 

@@ -135,8 +135,9 @@ class SVMDecodeConfig:
     # multi-chip: shard the CV fold axis over a 1-D data mesh of the
     # first n devices (folds are embarrassingly parallel — the
     # reference's SLURM job arrays, README.md:27, as XLA sharding instead
-    # of processes). 0 = single device. The nested search is host-driven
-    # per fold and does not support a mesh.
+    # of processes). 0 = single device. With nested=true the OUTER-FOLD
+    # axis of the candidate scoring + final refit shards the same way
+    # (the TPE proposal step stays host-side).
     n_devices: int = 0
     # synthetic-data scale (data='synthetic' only): patients / trial length
     # / trials-per-class — reference scale is 8 patients, T=200
