@@ -97,8 +97,8 @@ class SubsampleConfig:
     nested_points: int = 3
     nested_inner: int = 3
     # multi-chip: shard each sweep point's CV fold axis over a 1-D mesh
-    # of the first n devices (0 = single device; ignored by nested=true,
-    # whose search is host-driven)
+    # of the first n devices (0 = single device); with nested=true the
+    # outer-fold axis of the per-point TPE search shards the same way
     n_devices: int = 0
     seed: int = 0
     # real electrode geometry: dir holding {pt}/{pt}_channelMap.mat +
@@ -122,14 +122,6 @@ class SubsampleConfig:
 
 
 def _setup(cfg: SubsampleConfig):
-    if cfg.nested and getattr(cfg, "n_devices", 0) > 0:
-        # same contract as run_svm_decode: the nested TPE search is
-        # host-driven per fold and has no mesh path — fail loudly rather
-        # than silently running single-device
-        raise ValueError(
-            "nested=true does not support n_devices: the per-point TPE "
-            "search is host-driven (drop n_devices or nested)"
-        )
     tar, cross, n_y, n_a, names = _patients_from_config(
         cfg.data, cfg.target_pt, seed=cfg.seed, noise=cfg.noise,
         random_data=cfg.random_data,
@@ -174,11 +166,20 @@ def _decode(tar, cross, dcfg, cfg: SubsampleConfig, rng, tar_y_host=None):
             nested_cv_decode_bayes,
         )
 
+        mesh = None
+        if getattr(cfg, "n_devices", 0) > 0:
+            # outer-fold sharding, like run_svm_decode's nested path
+            # (jax.sharding.Mesh instances are interned, so the scorer
+            # cache key is stable across sweep points)
+            from cross_patient_speech_decoding_tpu.parallel import make_mesh
+
+            mesh = make_mesh(cfg.n_devices)
         accs, _ = nested_cv_decode_bayes(
             tar, tuple(cross), dcfg, n_folds=cfg.n_folds,
             n_rounds=cfg.nested_rounds, n_points=cfg.nested_points,
             n_inner=cfg.nested_inner, strategy=cfg.strategy,
             seed=int(rng.integers(2**31)),
+            mesh=mesh,
         )
         return float(np.asarray(accs).mean())
     decoder = _cv_decoder(cfg.strategy, dcfg,

@@ -215,15 +215,22 @@ def test_synthetic_fallback_still_works():
     assert 1.5 in res_p
 
 
-def test_subsample_nested_rejects_n_devices():
-    import pytest
+def test_subsample_nested_n_devices_runs_on_mesh():
+    """Round 5: the per-point nested TPE search shards its outer folds
+    over the mesh (the former ValueError is lifted; see
+    test_driver_mesh.test_nested_scorer_mesh_matches_single for the
+    exactness pin)."""
+    import numpy as np
 
     from cross_patient_speech_decoding_tpu.cli.subsample_experiments import (
         SubsampleConfig,
         run_trial_subsample,
     )
 
-    with pytest.raises(ValueError, match="nested"):
-        run_trial_subsample(
-            SubsampleConfig(nested=True, n_devices=2), verbose=False
-        )
+    _, accs = run_trial_subsample(
+        SubsampleConfig(nested=True, n_devices=8, n_iter=1, n_folds=2,
+                        nested_rounds=1, nested_points=2, nested_inner=2,
+                        max_k=8, k_start=5, k_step=50, trials_per_class=8),
+        verbose=False,
+    )
+    assert np.isfinite(accs).all()

@@ -159,7 +159,10 @@ def test_keep_going_collects_failures(tmp_path, monkeypatch):
 def test_paper_manifest_expands_and_builds_every_config():
     """The shipped paper.yaml must construct every job config (soft
     defaults like data: synthetic are dropped for commands without the
-    field, e.g. realtime-sim)."""
+    field, e.g. realtime-sim) and cover EVERY reference experiment
+    family — including the round-5 additions: the nested-CV headline,
+    tune-ctc at the reference design, train-nn, subsample-grid, and CTC
+    contexts for three targets (VERDICT r4 missing #1)."""
     from pathlib import Path
 
     from cross_patient_speech_decoding_tpu.cli.reproduce import (
@@ -171,11 +174,40 @@ def test_paper_manifest_expands_and_builds_every_config():
         (Path(__file__).resolve().parent.parent / "manifests" /
          "paper.yaml").read_text())
     jobs = expand_manifest(manifest)
-    assert len(jobs) > 40
+    assert len(jobs) > 70
+    cfgs = {}
     for job in jobs:
         cfg_cls, fn, job_cfg = _job_config(
             job["command"], job["values"], job["soft_keys"])
         assert job_cfg is not None
+        cfgs.setdefault(job["command"], []).append(job_cfg)
+    # every experiment family present
+    for cmd in ("svm-decode", "train-seq2seq", "train-nn", "train-ctc",
+                "tune-ctc", "realtime-sim", "subsample-trials",
+                "subsample-grid", "subsample-spatial", "subsample-pitch"):
+        assert cmd in cfgs, f"{cmd} missing from paper.yaml"
+    # the headline: per-patient nested-CV svm jobs at the reference's
+    # 25-candidate budget (5 rounds x 5 points = BayesSearchCV n_iter=25)
+    ncv = [c for c in cfgs["svm-decode"] if c.nested]
+    assert len(ncv) == 6
+    assert all(c.nested_rounds * c.nested_points == 25 for c in ncv)
+    assert all(c.n_iter == 50 and c.n_folds == 20 for c in ncv)
+    # tune-ctc at the reference tuning design (tune_ctc_rnn_config.yaml:
+    # 49-53: 30 trials x 5-fold CV x 300 epochs, random search)
+    (tune,) = cfgs["tune-ctc"]
+    assert tune.n_trials == 30 and tune.cv_folds == 5
+    assert tune.rungs == "300" and tune.sampler == "random"
+    assert tune.align_train and tune.hparam_out
+    # all four NN-classifier families
+    assert {c.model for c in cfgs["train-nn"]} == {
+        "tcn", "transformer", "cnn_transformer", "conv_rnn"}
+    # CTC contexts for >= 3 targets, all four contexts each
+    by_pt = {}
+    for c in cfgs["train-ctc"]:
+        by_pt.setdefault(c.target_pt, set()).add(c.context)
+    assert len(by_pt) >= 3
+    assert all(v == {"chance", "patient", "unaligned", "aligned"}
+               for v in by_pt.values())
 
 
 def test_strict_override_key_still_raises_with_soft_defaults(tmp_path):
