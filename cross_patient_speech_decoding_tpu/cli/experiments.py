@@ -1874,6 +1874,7 @@ def _tune_cv_trainer(cfg: TuneCTCConfig, rng: np.random.Generator, F: int):
     return make_ctc_cv_bucket_trainer(
         batch, w_tr, w_va, n_classes=11, seed=cfg.seed,
         mesh=_tune_mesh(cfg),
+        model_chunk=getattr(cfg, "model_chunk", 0),
     )
 
 

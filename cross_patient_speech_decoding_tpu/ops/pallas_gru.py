@@ -284,7 +284,7 @@ def _wfwd_kernel(*refs, win: int, stride: int):
     hs_ref[0] = h_new
 
 
-def _wbwd_kernel(*refs, win: int, stride: int):
+def _wbwd_kernel(*refs, win: int, stride: int, skip_dw: bool = False):
     ns = _n_slabs(win, stride)
     slab_refs = refs[:ns]
     (hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
@@ -337,10 +337,11 @@ def _wbwd_kernel(*refs, win: int, stride: int):
     def _():
         dh0_ref[:] = dh_new
 
-    dwi_ref[:] += dotTa(xt, dgi)
-    dwh_ref[:] += dotTa(hp, dgh)
-    db_ref[0] += jnp.sum(dgi, axis=0)
-    db_ref[1] += jnp.sum(dgh, axis=0)
+    if not skip_dw:  # timing-only arm: see timing_skip_dw_accum
+        dwi_ref[:] += dotTa(xt, dgi)
+        dwh_ref[:] += dotTa(hp, dgh)
+        db_ref[0] += jnp.sum(dgi, axis=0)
+        db_ref[1] += jnp.sum(dgh, axis=0)
 
 
 def _slab_specs(n_slabs: int, stride: int, BB: int, C: int, n_win: int,
@@ -396,7 +397,8 @@ def _gru_win_backward(slabs, hprev, dhs, wi, wh, b, *, win, stride, n_win,
     const = lambda nd: (lambda bi, ti: (0,) * nd)
     idx = _tidx(True, n_win)  # time sweeps backward through the windows
     return pl.pallas_call(
-        partial(_wbwd_kernel, win=win, stride=stride),
+        partial(_wbwd_kernel, win=win, stride=stride,
+                skip_dw=_TIMING_SKIP_DW),
         grid=(B // BB, n_win),
         in_specs=_slab_specs(ns, stride, BB, C, n_win, True) + [
             pl.BlockSpec((1, BB, Hp), idx, memory_space=pltpu.VMEM),
@@ -515,7 +517,7 @@ _gru_win_core.defvjp(_gru_win_fwd_rule, _gru_win_bwd_rule)
 
 
 def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
-                *out_refs, need_dx: bool):
+                *out_refs, need_dx: bool, skip_dw: bool = False):
     if need_dx:
         dx_ref, dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr = out_refs
     else:
@@ -575,10 +577,11 @@ def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
     def _():
         dh0_ref[:] = dh_new
 
-    dwi_ref[:] += dotTa(xt, dgi)
-    dwh_ref[:] += dotTa(hp, dgh)
-    db_ref[0] += jnp.sum(dgi, axis=0)
-    db_ref[1] += jnp.sum(dgh, axis=0)
+    if not skip_dw:  # timing-only arm: see timing_skip_dw_accum
+        dwi_ref[:] += dotTa(xt, dgi)
+        dwh_ref[:] += dotTa(hp, dgh)
+        db_ref[0] += jnp.sum(dgi, axis=0)
+        db_ref[1] += jnp.sum(dgh, axis=0)
 
 
 def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
@@ -600,7 +603,7 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
         [jax.ShapeDtypeStruct((T, B, F), jnp.float32)] if need_dx else []
     )
     out = pl.pallas_call(
-        partial(_bwd_kernel, need_dx=need_dx),
+        partial(_bwd_kernel, need_dx=need_dx, skip_dw=_TIMING_SKIP_DW),
         grid=(B // BB, T),
         in_specs=[
             pl.BlockSpec((1, BB, F), idx, memory_space=pltpu.VMEM),
@@ -874,4 +877,31 @@ class disable_pallas_gru:
     def __exit__(self, *exc):
         global _ENABLED
         _ENABLED = self._prev
+        return False
+
+
+# TIMING-ONLY debug knob (docs/ROUND4.md §11 -> ROUND5 measurement): when
+# set, the backward kernels SKIP the per-grid-step dW/dWh/db VMEM
+# read-modify-write. Parameter gradients from programs traced under it
+# are WRONG (all-zero dW/dWh/db) — it exists solely so the accumulate's
+# cost can be measured through the full-model jit (the bare-kernel probes
+# hang the remote compiler, CLAUDE.md). Never use outside A/B probes.
+_TIMING_SKIP_DW = False
+
+
+class timing_skip_dw_accum:
+    """Context manager for the accumulate-free TIMING arm (wrong grads —
+    see _TIMING_SKIP_DW). Programs must be TRACED inside the context (the
+    flag is read at pallas_call construction); jit caches traced under it
+    must not be reused for real training."""
+
+    def __enter__(self):
+        global _TIMING_SKIP_DW
+        self._prev = _TIMING_SKIP_DW
+        _TIMING_SKIP_DW = True
+        return self
+
+    def __exit__(self, *exc):
+        global _TIMING_SKIP_DW
+        _TIMING_SKIP_DW = self._prev
         return False

@@ -53,6 +53,7 @@ def make_ctc_cv_bucket_trainer(
     seed: int = 0,
     mesh=None,
     trial_axis: str = "data",
+    model_chunk: int = 0,
 ):
     """CV variant: train_bucket(configs, epochs) -> mean val PER over folds.
 
@@ -73,6 +74,16 @@ def make_ctc_cv_bucket_trainer(
     sharded over the mesh (data replicated) when ``B*F`` divides the
     device count — the CV analog of the plain bucket trainer's
     trial-axis sharding.
+
+    ``model_chunk`` bounds how many fold models backpropagate
+    CONCURRENTLY (single-device memory control): the flattened model
+    axis runs through ``lax.map`` in chunks of that size instead of one
+    full vmap. At the fig_5 production geometry (~1.9k pooled trials x
+    600 bins, hidden 512 x 3) one model's fwd+bwd residuals are ~6 GB —
+    five concurrent fold models exceed HBM, so the reference tuning
+    design needs ``model_chunk=1`` (which also keeps the Pallas GRU
+    kernels on the hot path: the lax.map body is a plain single-model
+    program, not a vmapped one). Mutually exclusive with ``mesh``.
     """
     x, y, il, ll = data_batch
     F = fold_train_masks.shape[0]
@@ -81,16 +92,25 @@ def make_ctc_cv_bucket_trainer(
         raise ValueError(
             f"per-fold x has {x.shape[0]} folds, masks have {F}"
         )
+    if model_chunk and mesh is not None:
+        raise ValueError(
+            "model_chunk is a single-device memory bound; with a mesh the "
+            "model axis is already sharded — drop one of the two"
+        )
     x_one = x[0] if per_fold_x else x
 
     def train_bucket(cfgs: Sequence[dict], epochs: int):
         # trial/fold models ride a vmap axis: keep the XLA scan GRU, whose
         # small matmuls batch ACROSS models — a Pallas kernel under vmap
-        # would serialize per instance on the sequential TPU grid
+        # would serialize per instance on the sequential TPU grid.
+        # model_chunk=1 is the exception: the lax.map body is a plain
+        # single-model program, so the fused kernels run at full tilt.
         from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
             disable_pallas_gru,
         )
 
+        if model_chunk == 1:
+            return _train_bucket(cfgs, epochs)
         with disable_pallas_gru():
             return _train_bucket(cfgs, epochs)
 
@@ -151,26 +171,32 @@ def make_ctc_cv_bucket_trainer(
 
         in_adj = adjusted_input_lengths(il, win_size, stride)
 
+        def per_model(p, o, lr, wd, w, key, f):
+            xx = x[f] if per_fold_x else x
+            loss, grads = jax.value_and_grad(
+                lambda p_: _weighted_ctc_loss(
+                    model, p_, xx, y, in_adj, ll, w, blank, key
+                )
+            )(p)
+            frac = jnp.minimum(o.count / decay_steps, 1.0)
+            o.hyperparams["learning_rate"] = lr * (1.0 - frac)
+            o.hyperparams["weight_decay"] = wd
+            updates, o2 = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o2
+
         def epoch_step(carry, epoch_key):
             params, opts = carry
-
-            def per_model(p, o, lr, wd, w, key, f):
-                xx = x[f] if per_fold_x else x
-                loss, grads = jax.value_and_grad(
-                    lambda p_: _weighted_ctc_loss(
-                        model, p_, xx, y, in_adj, ll, w, blank, key
-                    )
-                )(p)
-                frac = jnp.minimum(o.count / decay_steps, 1.0)
-                o.hyperparams["learning_rate"] = lr * (1.0 - frac)
-                o.hyperparams["weight_decay"] = wd
-                updates, o2 = tx.update(grads, o, p)
-                return optax.apply_updates(p, updates), o2
-
             mkeys = jax.random.split(epoch_key, B * F)
-            params, opts = jax.vmap(per_model)(
-                params, opts, lrs, wds, w_tr, mkeys, fold_ids
-            )
+            if model_chunk:
+                params, opts = jax.lax.map(
+                    lambda a: per_model(*a),
+                    (params, opts, lrs, wds, w_tr, mkeys, fold_ids),
+                    batch_size=model_chunk if model_chunk > 1 else None,
+                )
+            else:
+                params, opts = jax.vmap(per_model)(
+                    params, opts, lrs, wds, w_tr, mkeys, fold_ids
+                )
             return (params, opts), None
 
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
@@ -191,8 +217,14 @@ def make_ctc_cv_bucket_trainer(
                 jnp.sum(ll * w), 1
             ) * 100.0
 
-        pers = jax.jit(jax.vmap(eval_one))(params, w_va, fold_ids)  # (B*F,)
-        per_trial = np.asarray(pers).reshape(B, F).mean(axis=1)
+        if model_chunk:
+            pers = jax.jit(lambda ps, ws, fs: jax.lax.map(
+                lambda a: eval_one(*a), (ps, ws, fs),
+                batch_size=model_chunk if model_chunk > 1 else None,
+            ))(params, w_va, fold_ids)
+        else:
+            pers = jax.jit(jax.vmap(eval_one))(params, w_va, fold_ids)
+        per_trial = np.asarray(pers).reshape(B, F).mean(axis=1)  # (B*F,)
         return [float(p) for p in per_trial]
 
     return train_bucket

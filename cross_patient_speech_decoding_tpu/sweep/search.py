@@ -180,31 +180,46 @@ def run_sweep(
     # shrink the keep count for the surviving cohort
     n0 = len(trials)
 
+    import time as _time
+
     for i, epochs in enumerate(rungs):
         if not live:
             break
         scores = []
         for arch_key, cfgs in _bucket(live).items():
+            t0 = _time.monotonic()
             metrics = train_bucket(cfgs, int(epochs))
-            scores.extend(zip(cfgs, metrics))
+            # amortized per-trial wall seconds (trials/hour accounting:
+            # the reference HPO workload's only published figure is its
+            # actor topology, tune_ctc_rnn.py:43,675 — wall time per
+            # trial is the comparable quantity)
+            wall = (_time.monotonic() - t0) / max(1, len(cfgs))
+            scores.extend(
+                (c, m, wall) for c, m in zip(cfgs, metrics)
+            )
         scores.sort(key=lambda cm: cm[1])
         if i == len(rungs) - 1:
-            for cfg, m in scores:
+            for cfg, m, wall in scores:
                 results.append(
                     {"config": cfg, "metric": float(m), "epochs": int(epochs)}
                 )
-                manifest.record(cfg, float(m), {"epochs": int(epochs)})
+                manifest.record(cfg, float(m), {
+                    "epochs": int(epochs), "wall_s": round(wall, 2),
+                    "done_at": round(_time.time(), 1),
+                })
             live = []
         else:
             keep = max(1, n0 // (eta ** (i + 1)))
-            live = [cfg for cfg, _ in scores[:keep]]
-            for cfg, m in scores[keep:]:
+            live = [cfg for cfg, _, _ in scores[:keep]]
+            for cfg, m, wall in scores[keep:]:
                 results.append(
                     {"config": cfg, "metric": float(m), "epochs": int(epochs)}
                 )
                 manifest.record(
                     cfg, float(m),
-                    {"epochs": int(epochs), "eliminated_at_rung": i},
+                    {"epochs": int(epochs), "eliminated_at_rung": i,
+                     "wall_s": round(wall, 2),
+                     "done_at": round(_time.time(), 1)},
                 )
 
     results.sort(key=lambda r: (-r["epochs"], r["metric"]))

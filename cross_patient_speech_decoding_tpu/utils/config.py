@@ -388,6 +388,13 @@ class TuneCTCConfig:
     # whose trial count (x cv_folds) does not divide the mesh run
     # unsharded. 0 = single device.
     n_devices: int = 0
+    # single-device memory bound for the CV trainable: how many fold
+    # models backpropagate concurrently (lax.map chunks over the
+    # flattened trial x fold axis; 0 = all at once). At the fig_5
+    # production geometry one model's residuals are ~6 GB — the
+    # reference design (5-fold CV, pooled ~1.9k trials) needs
+    # model_chunk=1, which also keeps the Pallas GRU kernels hot.
+    model_chunk: int = 0
     n_components: float = 0.9
     # synthetic-data scale (data='synthetic' only; see TrainCTCConfig)
     synth_patients: int = 3

@@ -233,7 +233,7 @@ def test_probes_registry_and_unknown_name():
 
     assert set(probes.PROBES) == {
         "ctc_stages", "s2s_stages", "foldpar_pallas",
-        "ctc_driver_overhead", "bf16_parity",
+        "ctc_driver_overhead", "bf16_parity", "bwd_accum",
     }
     assert all(callable(f) for f in probes.PROBES.values())
     assert probes.run("no_such_probe", []) == 2

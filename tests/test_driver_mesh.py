@@ -248,6 +248,46 @@ def test_cv_bucket_trainer_mesh_matches_single():
     np.testing.assert_allclose(sharded, plain, atol=1e-3)
 
 
+def test_cv_bucket_trainer_model_chunk_matches_full():
+    """model_chunk (the single-device memory bound that makes the
+    reference 5-fold tuning design fit HBM at production scale) chunks
+    the flattened model axis through lax.map without changing results;
+    combining it with a mesh raises."""
+    from cross_patient_speech_decoding_tpu.parallel import make_mesh
+    from cross_patient_speech_decoding_tpu.sweep.ctc import (
+        make_ctc_cv_bucket_trainer,
+    )
+
+    rng = np.random.default_rng(6)
+    N, T, C, F = 16, 24, 6, 2
+    x = jnp.asarray(rng.normal(size=(N, T, C)), jnp.float32)
+    y = jnp.asarray(rng.integers(1, 5, size=(N, 3)))
+    il = jnp.full((N,), T)
+    ll = jnp.full((N,), 3)
+    masks = np.zeros((F, N), np.float32)
+    for f in range(F):
+        masks[f, f::F] = 1.0
+    w_va, w_tr = masks, 1.0 - masks
+    cfgs = [
+        {"hidden": 8, "n_layers": 1, "dropout": 0.0, "lr": 1e-3,
+         "weight_decay": 1e-4},
+        {"hidden": 8, "n_layers": 1, "dropout": 0.0, "lr": 3e-3,
+         "weight_decay": 1e-4},
+    ]
+    kw = dict(n_classes=5, win_size=4, stride=2, seed=0)
+    batch = (x, y, il, ll)
+    full = make_ctc_cv_bucket_trainer(batch, w_tr, w_va, **kw)(cfgs, 3)
+    for chunk in (1, 2):
+        chunked = make_ctc_cv_bucket_trainer(
+            batch, w_tr, w_va, model_chunk=chunk, **kw
+        )(cfgs, 3)
+        np.testing.assert_allclose(chunked, full, atol=1e-3)
+    with pytest.raises(ValueError, match="model_chunk"):
+        make_ctc_cv_bucket_trainer(
+            batch, w_tr, w_va, model_chunk=1, mesh=make_mesh(8), **kw
+        )
+
+
 def test_tune_ctc_n_devices_smoke(tmp_path):
     """Driver-level knob: the sweep completes with trial-axis sharding
     requested (buckets that don't divide the mesh fall back unsharded)."""

@@ -363,6 +363,38 @@ def test_windowed_no_input_cotangent():
     assert float(jnp.abs(g).max()) == 0.0
 
 
+def test_timing_skip_dw_accum_knob():
+    """The timing-only A/B knob (docs/ROUND4.md §11 measurement): traced
+    under the context, backward kernels skip the dW/dWh/db accumulate
+    (those grads become exactly zero) while dh0 and the forward stay
+    correct; outside the context behavior is unchanged."""
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        gru_layer,
+        timing_skip_dw_accum,
+    )
+
+    x, h0, wi, bi, wh, bh = _case()
+
+    def loss(h0, wi, wh):
+        return jnp.sum(jnp.sin(gru_layer(x, h0, wi, bi, wh, bh)))
+
+    g_real = jax.grad(loss, argnums=(0, 1, 2))(h0, wi, wh)
+    with timing_skip_dw_accum():
+        fwd_skip = gru_layer(x, h0, wi, bi, wh, bh)  # forward untouched
+        g_skip = jax.grad(loss, argnums=(0, 1, 2))(h0, wi, wh)
+    np.testing.assert_allclose(
+        np.asarray(fwd_skip),
+        np.asarray(gru_layer(x, h0, wi, bi, wh, bh)), atol=1e-6)
+    # dh0 path still live, dW paths dead
+    np.testing.assert_allclose(np.asarray(g_skip[0]), np.asarray(g_real[0]),
+                               atol=1e-5)
+    assert float(jnp.abs(g_skip[1]).max()) == 0.0
+    assert float(jnp.abs(g_skip[2]).max()) == 0.0
+    # flag restored: real grads flow again
+    g_after = jax.grad(loss, argnums=(1,))(h0, wi, wh)
+    assert float(jnp.abs(g_after[0]).max()) > 0.0
+
+
 def test_windowed_rejects_short_sequence_and_bad_stride():
     """T < win (or stride < 1) must fail with a clear ValueError, not an
     opaque slab-reshape/pallas-grid error (round-4 advisor finding)."""

@@ -304,6 +304,75 @@ def probe_ctc_driver_overhead(argv):
     return out
 
 
+def probe_bwd_accum(argv):
+    """Decide docs/ROUND4.md §11: cost of the backward kernels' on-chip
+    dW/dWh/db VMEM read-modify-write, measured through the FULL-MODEL jit
+    at fig_5 production scale (bare-kernel probes hang the remote
+    compiler — CLAUDE.md). Arms: model fwd+bwd with the real backward vs
+    a timing-only clone that skips the accumulate (grads wrong by
+    construction; a zero-dwi check pins that the flag took effect)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cross_patient_speech_decoding_tpu.models import RealtimeRNN
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        timing_skip_dw_accum,
+    )
+
+    B, T, C, H, NL = 2000, 600, 60, 512, 3
+    x = jax.jit(lambda k: jax.random.normal(k, (B, T, C), jnp.float32))(
+        jax.random.key(0))
+    key = jax.random.key(3)
+    model = RealtimeRNN(hidden=H, n_layers=NL, n_classes=11, dropout=0.3,
+                        win_size=14, stride=4)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+        False)
+    params = variables["params"]
+
+    def loss_sq(p, xx):
+        logits = model.apply({"params": p}, xx, False,
+                             rngs={"dropout": key})
+        return jnp.mean(logits * logits)
+
+    out = {}
+    g_real = jax.jit(jax.grad(loss_sq))
+    t_real = _timeit(lambda: g_real(params, x))
+    out["model_fwd_bwd_ms"] = t_real * 1e3
+
+    with timing_skip_dw_accum():
+        # fresh jit wrapper: the flag is read at trace time, and this
+        # cache must never serve real training
+        g_skip = jax.jit(jax.grad(loss_sq))
+        grads_skip = g_skip(params, x)
+        # the flag took effect: the fused layers' dwi are exactly zero
+        dwi0 = float(jnp.abs(
+            grads_skip["rnn"]["fwd0"]["wi"]).max())
+        assert dwi0 == 0.0, f"skip arm still accumulates (|dwi|={dwi0})"
+        t_skip = _timeit(lambda: g_skip(params, x))
+    out["model_fwd_bwd_skip_accum_ms"] = t_skip * 1e3
+    out["dw_accum_cost_ms"] = (t_real - t_skip) * 1e3
+    out["dw_accum_fraction_of_fwd_bwd"] = (t_real - t_skip) / t_real
+
+    # same A/B on the dropout-free eval-mode path (isolates the
+    # accumulate from any dropout-mask interplay)
+    def loss_det(p, xx):
+        logits = model.apply({"params": p}, xx, True)
+        return jnp.mean(logits * logits)
+
+    g_det = jax.jit(jax.grad(loss_det))
+    t_det = _timeit(lambda: g_det(params, x))
+    with timing_skip_dw_accum():
+        g_det_skip = jax.jit(jax.grad(loss_det))
+        _ = g_det_skip(params, x)
+        t_det_skip = _timeit(lambda: g_det_skip(params, x))
+    out["det_fwd_bwd_ms"] = t_det * 1e3
+    out["det_fwd_bwd_skip_accum_ms"] = t_det_skip * 1e3
+    out["det_dw_accum_cost_ms"] = (t_det - t_det_skip) * 1e3
+    return out
+
+
 def probe_bf16_parity(argv):
     """Forward-logits parity: f32 layer-0 stream (input_grad=True, MXU
     converts implicitly) vs bf16 stream (input_grad=False, astype-RNE
@@ -336,6 +405,7 @@ PROBES = {
     "foldpar_pallas": probe_foldpar_pallas,
     "ctc_driver_overhead": probe_ctc_driver_overhead,
     "bf16_parity": probe_bf16_parity,
+    "bwd_accum": probe_bwd_accum,
 }
 
 
