@@ -146,17 +146,32 @@ def _run_bench(env_extra, timeout=120, sig_after=None):
     import os
     import signal
     import subprocess
+    import tempfile
     import time
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.update(env_extra)
+    ready = None
+    if sig_after is not None:
+        # interpreter startup is slow (site hook pre-imports jax) and
+        # varies with load; signal only once the handlers are LIVE, or
+        # the default SIGTERM disposition kills the process silently
+        fd, ready = tempfile.mkstemp(suffix=".bench_ready")
+        os.close(fd)
+        os.unlink(ready)
+        env["BENCH_READY_FILE"] = ready
     proc = subprocess.Popen(
         [sys.executable, str(ROOT / "bench.py")],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=env, cwd=str(ROOT),
     )
     if sig_after is not None:
+        deadline = time.monotonic() + 60
+        while not os.path.exists(ready) and time.monotonic() < deadline:
+            time.sleep(0.1)
+        assert os.path.exists(ready), "bench never signaled readiness"
+        os.unlink(ready)
         time.sleep(sig_after)
         proc.send_signal(signal.SIGTERM)
     stdout, _ = proc.communicate(timeout=timeout)
