@@ -202,28 +202,37 @@ def make_ctc_cv_bucket_trainer(
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
         (params, _), _ = jax.lax.scan(epoch_step, (params, opts), ekeys)
 
-        def eval_one(p, w, f):
-            xx = x[f] if per_fold_x else x
+        # data enters eval as EXPLICIT jit arguments: a closed-over
+        # device array is embedded into the serialized program as a
+        # literal, and at production scale the per-fold feature stack is
+        # ~1.5 GB — the tunnel's /remote_compile rejects the request
+        # body outright (HTTP 413; observed round 5)
+        def eval_one(p, w, f, xd, yd, lld, ia):
+            xx = xd[f] if per_fold_x else xd
             logits = model.apply({"params": p}, xx, True)
             lp = jax.nn.log_softmax(logits, axis=-1)
-            mask = jnp.arange(logits.shape[1])[None, :] < in_adj[:, None]
+            mask = jnp.arange(logits.shape[1])[None, :] < ia[:, None]
             dec, lens = greedy_decode(lp, blank, mask)
             from cross_patient_speech_decoding_tpu.ops.metrics import (
                 edit_distance,
             )
 
-            dists = jax.vmap(edit_distance)(dec, lens, y, ll)
+            dists = jax.vmap(edit_distance)(dec, lens, yd, lld)
             return jnp.sum(dists * w) / jnp.maximum(
-                jnp.sum(ll * w), 1
+                jnp.sum(lld * w), 1
             ) * 100.0
 
         if model_chunk:
-            pers = jax.jit(lambda ps, ws, fs: jax.lax.map(
-                lambda a: eval_one(*a), (ps, ws, fs),
+            ev = jax.jit(lambda ps, ws, fs, xd, yd, lld, ia: jax.lax.map(
+                lambda a: eval_one(*a, xd, yd, lld, ia), (ps, ws, fs),
                 batch_size=model_chunk if model_chunk > 1 else None,
-            ))(params, w_va, fold_ids)
+            ))
         else:
-            pers = jax.jit(jax.vmap(eval_one))(params, w_va, fold_ids)
+            ev = jax.jit(lambda ps, ws, fs, xd, yd, lld, ia: jax.vmap(
+                lambda p, w, f: eval_one(p, w, f, xd, yd, lld, ia)
+            )(ps, ws, fs))
+        pers = ev(params, w_va, fold_ids, x, jnp.asarray(y),
+                  jnp.asarray(ll), in_adj)
         per_trial = np.asarray(pers).reshape(B, F).mean(axis=1)  # (B*F,)
         return [float(p) for p in per_trial]
 
@@ -339,16 +348,18 @@ def make_ctc_bucket_trainer(
         x_v, y_v, il_v, ll_v = val_batch
         in_adj_v = adjusted_input_lengths(il_v, win_size, stride)
 
-        def eval_one(p):
-            logits = model.apply({"params": p}, x_v, True)
+        # data as explicit jit args (closed-over arrays embed as program
+        # literals; see the CV trainer's eval note)
+        def eval_one(p, xd, yd, lld, ia):
+            logits = model.apply({"params": p}, xd, True)
             lp = jax.nn.log_softmax(logits, axis=-1)
-            mask = (
-                jnp.arange(logits.shape[1])[None, :] < in_adj_v[:, None]
-            )
+            mask = jnp.arange(logits.shape[1])[None, :] < ia[:, None]
             dec, lens = greedy_decode(lp, blank, mask)
-            return per_batch(dec, lens, y_v, ll_v)
+            return per_batch(dec, lens, yd, lld)
 
-        pers = jax.jit(jax.vmap(eval_one))(params)
+        pers = jax.jit(lambda ps, xd, yd, lld, ia: jax.vmap(
+            lambda p: eval_one(p, xd, yd, lld, ia))(ps)
+        )(params, x_v, y_v, ll_v, in_adj_v)
         return [float(p) for p in pers]
 
     return train_bucket

@@ -198,6 +198,9 @@ def test_paper_manifest_expands_and_builds_every_config():
     assert tune.n_trials == 30 and tune.cv_folds == 5
     assert tune.rungs == "300" and tune.sampler == "random"
     assert tune.align_train and tune.hparam_out
+    # fig_5 production geometry with the single-device HBM bound
+    assert (tune.synth_patients, tune.synth_T) == (8, 600)
+    assert tune.model_chunk == 1
     # all four NN-classifier families
     assert {c.model for c in cfgs["train-nn"]} == {
         "tcn", "transformer", "cnn_transformer", "conv_rnn"}
