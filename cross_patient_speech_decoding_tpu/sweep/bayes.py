@@ -251,31 +251,41 @@ def run_bohb(
         # their recorded result (already in ``obs`` — loaded at startup or
         # appended when their bracket finished) instead of retraining
         live = [c for c in cfgs if manifest.completed(c) is None]
+        import time as _time
+
         for i, epochs in enumerate(rungs):
             if not live:
                 break
             scored = []
             for _, bucket_cfgs in _bucket_items(live):
+                t0 = _time.monotonic()
                 metrics = train_bucket(bucket_cfgs, int(epochs))
-                scored.extend(zip(bucket_cfgs, metrics))
+                wall = (_time.monotonic() - t0) / max(1, len(bucket_cfgs))
+                scored.extend(
+                    (c, m, wall) for c, m in zip(bucket_cfgs, metrics)
+                )
             scored.sort(key=lambda cm: cm[1])
             obs.setdefault(int(epochs), []).extend(
-                (c, float(m)) for c, m in scored
+                (c, float(m)) for c, m, _ in scored
             )
             if i == len(rungs) - 1:
-                for c, m in scored:
-                    manifest.record(c, float(m), {"epochs": int(epochs)})
+                for c, m, wall in scored:
+                    manifest.record(c, float(m), {
+                        "epochs": int(epochs), "wall_s": round(wall, 2),
+                        "done_at": round(_time.time(), 1)})
                 live = []
             else:
                 keep = max(1, len(scored) // eta)
-                live = [c for c, _ in scored[:keep]]
+                live = [c for c, _, _ in scored[:keep]]
                 # rung dropouts persist too: their cheap-rung evaluations
                 # must survive a restart (they re-enter ``obs`` at their
                 # own budget) and must not retrain if TPE re-proposes them
-                for c, m in scored[keep:]:
+                for c, m, wall in scored[keep:]:
                     manifest.record(
                         c, float(m),
-                        {"epochs": int(epochs), "eliminated_at_rung": i},
+                        {"epochs": int(epochs), "eliminated_at_rung": i,
+                         "wall_s": round(wall, 2),
+                         "done_at": round(_time.time(), 1)},
                     )
 
     results = []
