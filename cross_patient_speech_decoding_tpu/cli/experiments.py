@@ -1068,6 +1068,24 @@ def _tuple_arg(s: str):
     return tuple(float(x) for x in str(s).split(","))
 
 
+def _subsample_ctc_set(d, frac: float, rng: np.random.Generator):
+    """Stratified (by first label) row subsample of one CTC dataset tuple
+    — the fig_5 data-scaling axis applied to a cross patient's pooled
+    trials (same stratification as the target_subsample path,
+    train_ctc_rnn.py:104-116)."""
+    X, y, il, ll = d
+    y = np.asarray(y)
+    keep = []
+    for c in np.unique(y[:, 0]):
+        idx = np.where(y[:, 0] == c)[0]
+        n_keep = max(1, int(round(frac * len(idx))))
+        keep.append(rng.permutation(idx)[:n_keep])
+    keep = np.sort(np.concatenate(keep))
+    # X may live on device (synthetic latents): index with jnp, not np
+    return (X[jnp.asarray(keep)] if hasattr(X, "devices") else X[keep],
+            y[keep], np.asarray(il)[keep], np.asarray(ll)[keep])
+
+
 def _with_labels(X, y, T=None):
     """(X, labels) -> CTC tuple (X, labels, input_lens, label_lens)."""
     n = len(X)
@@ -1608,10 +1626,18 @@ def run_train_ctc(cfg: TrainCTCConfig, verbose: bool = True):
 
         train_batch = batch(tr_i)
         if len(datasets) > 1:  # append pooled cross data to train
-            Xs = [X_t[tr_i]] + [d[0] for d in datasets[1:]]
-            ys = [y_t[tr_i]] + [d[1] for d in datasets[1:]]
-            ils = [il_t[tr_i]] + [d[2] for d in datasets[1:]]
-            lls = [ll_t[tr_i]] + [d[3] for d in datasets[1:]]
+            cross_sets = datasets[1:]
+            if cfg.cross_subsample < 1.0:
+                # fig_5 data-scaling axis: per-iteration stratified
+                # subsample of each cross patient's pooled trials
+                cross_sets = [
+                    _subsample_ctc_set(d, cfg.cross_subsample, rng)
+                    for d in cross_sets
+                ]
+            Xs = [X_t[tr_i]] + [d[0] for d in cross_sets]
+            ys = [y_t[tr_i]] + [d[1] for d in cross_sets]
+            ils = [il_t[tr_i]] + [d[2] for d in cross_sets]
+            lls = [ll_t[tr_i]] + [d[3] for d in cross_sets]
             # X concat on device (synthetic X never leaves the chip);
             # labels/lengths are host numpy
             train_batch = (

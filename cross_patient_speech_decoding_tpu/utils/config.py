@@ -279,6 +279,11 @@ class TrainCTCConfig:
     tw_select: str = "0.5,3.5"
     n_sil: int = 0
     target_subsample: float = 1.0  # stratified train-size fraction
+    # stratified fraction of each CROSS patient's pooled trials (the
+    # fig_5 data-scaling axis: PER vs cross-patient trial count; the
+    # log-regression cell of fig_5.ipynb fits over runs at several
+    # fractions) — 1.0 pools everything
+    cross_subsample: float = 1.0
     hparam_dir: str = ""  # tuned-hparams h5 dir (train_ctc_rnn.py:375-423)
     pca_path: str = ""  # precomputed {pt}/components h5 (tune_ctc_rnn.py:1050)
     cca_path: str = ""  # precomputed {src}_to_{tgt}/components h5

@@ -92,6 +92,20 @@ def test_fig_ctc_contexts(capsys, tmp_path):
     assert (tmp_path / "ctc_scaling.png").exists()
 
 
+def test_fig_ctc_contexts_real_scaling_branch(capsys, tmp_path):
+    """scaling_fracs trains the aligned context at real cross_subsample
+    fractions and fits the fig_5 log-regression on MEASURED PERs."""
+    _load("fig_ctc_contexts").main(
+        n_iter=1, epochs=2, out_dir=str(tmp_path), synth_patients=2,
+        synth_T=120, synth_trials=40, decode="greedy", hidden=32,
+        n_layers=1, scaling_fracs="0.3,1.0",
+    )
+    out = capsys.readouterr().out
+    assert "cross_subsample=0.3" in out
+    assert "extrapolated trials to 25% PER" in out
+    assert (tmp_path / "ctc_scaling.png").exists()
+
+
 def test_fig_ctc_contexts_rejects_clashing_overrides():
     """'context'/'n_iter'/'epochs' in **overrides used to surface as a
     duplicate-keyword TypeError (round-4 advisor finding)."""

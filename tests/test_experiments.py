@@ -358,6 +358,39 @@ def test_stale_results_set_aside_bounded(tmp_path):
     assert _completed_results("", {"cfg": 0}) == []
 
 
+def test_ctc_cross_subsample_scaling_knob(tmp_path):
+    """cross_subsample (the fig_5 data-scaling axis): stratified per-class
+    shrink of each cross patient's pooled rows; the aligned driver runs
+    end-to-end with it."""
+    import jax.numpy as jnp
+
+    from cross_patient_speech_decoding_tpu.cli.experiments import (
+        _subsample_ctc_set,
+        run_train_ctc,
+    )
+    from cross_patient_speech_decoding_tpu.utils.config import TrainCTCConfig
+
+    rng = np.random.default_rng(0)
+    y = np.repeat(np.arange(1, 5), 10)[:, None] * np.ones((1, 3), int)
+    X = jnp.asarray(rng.normal(size=(40, 8, 4)), jnp.float32)
+    il = np.full(40, 8, np.int32)
+    ll = np.full(40, 3, np.int32)
+    Xs, ys, ils, lls = _subsample_ctc_set((X, y, il, ll), 0.5, rng)
+    assert len(ys) == 20 and Xs.shape[0] == 20
+    # stratified: every first-label class keeps half its rows
+    for c in range(1, 5):
+        assert (ys[:, 0] == c).sum() == 5
+    assert len(ils) == 20 and len(lls) == 20
+
+    pers = run_train_ctc(
+        TrainCTCConfig(context="aligned", n_iter=1, epochs=2, hidden=8,
+                       n_layers=1, cross_subsample=0.4, out="",
+                       synth_patients=2, synth_T=60, synth_trials=40),
+        verbose=False,
+    )
+    assert np.isfinite(pers).all()
+
+
 def test_analyze_results_comparison(tmp_path):
     """cpsd analyze: fig_4/fig_5 statistics straight from driver result
     pickles, matching scipy on the same data."""
