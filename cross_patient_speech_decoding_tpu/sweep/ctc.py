@@ -32,6 +32,11 @@ from cross_patient_speech_decoding_tpu.ops.ctc import ctc_loss_mean, greedy_deco
 from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
 
 
+# epoch-scan segment length for the CV trainable (host-side chunking of
+# the lax.scan over epochs; see the note at its use site)
+EPOCH_SEG = 100
+
+
 def _weighted_ctc_loss(model, params, x, y, in_adj, ll, w, blank, key):
     """Fold-masked CTC loss — the same ``ctc_loss_mean`` as the production
     train steps (one definition of the zero_infinity clamp and
@@ -199,8 +204,16 @@ def make_ctc_cv_bucket_trainer(
                 )
             return (params, opts), None
 
+        # epoch scan in host-side SEGMENTS: bit-identical key stream and
+        # math (the segment boundary only cuts the scan), but (a) a
+        # 300-length scan program at production scale crashed the TPU
+        # worker where the 100-length one runs (observed round 5), and
+        # (b) equal-length segments share one cached program
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
-        (params, _), _ = jax.lax.scan(epoch_step, (params, opts), ekeys)
+        carry = (params, opts)
+        for s0 in range(0, epochs, EPOCH_SEG):
+            carry, _ = jax.lax.scan(epoch_step, carry, ekeys[s0:s0 + EPOCH_SEG])
+        params, _ = carry
 
         # data enters eval as EXPLICIT jit arguments: a closed-over
         # device array is embedded into the serialized program as a
@@ -342,8 +355,13 @@ def make_ctc_bucket_trainer(
             )
             return (params, opts), losses
 
+        # segmented like the CV trainable (shared cached program per
+        # segment; long scans at production scale crashed the worker)
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
-        (params, _), _ = jax.lax.scan(epoch_step, (params, opt_states), ekeys)
+        carry = (params, opt_states)
+        for s0 in range(0, epochs, EPOCH_SEG):
+            carry, _ = jax.lax.scan(epoch_step, carry, ekeys[s0:s0 + EPOCH_SEG])
+        params, _ = carry
 
         x_v, y_v, il_v, ll_v = val_batch
         in_adj_v = adjusted_input_lengths(il_v, win_size, stride)
