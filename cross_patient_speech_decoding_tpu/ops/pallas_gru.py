@@ -284,11 +284,12 @@ def _wfwd_kernel(*refs, win: int, stride: int):
     hs_ref[0] = h_new
 
 
-def _wbwd_kernel(*refs, win: int, stride: int, skip_dw: bool = False):
+def _wbwd_kernel(*refs, win: int, stride: int, skip_dw: bool = False,
+                 k2: bool = False):
     ns = _n_slabs(win, stride)
     slab_refs = refs[:ns]
     (hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
-     dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr) = refs[ns:]
+     dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr, *stash) = refs[ns:]
     bidx = pl.program_id(0)
     t = pl.program_id(1)
     T = pl.num_programs(1)
@@ -338,10 +339,8 @@ def _wbwd_kernel(*refs, win: int, stride: int, skip_dw: bool = False):
         dh0_ref[:] = dh_new
 
     if not skip_dw:  # timing-only arm: see timing_skip_dw_accum
-        dwi_ref[:] += dotTa(xt, dgi)
-        dwh_ref[:] += dotTa(hp, dgh)
-        db_ref[0] += jnp.sum(dgi, axis=0)
-        db_ref[1] += jnp.sum(dgh, axis=0)
+        _accum_dw(t, T, k2, xt, hp, dgi, dgh, dwi_ref, dwh_ref, db_ref,
+                  stash, dotTa)
 
 
 def _slab_specs(n_slabs: int, stride: int, BB: int, C: int, n_win: int,
@@ -396,9 +395,10 @@ def _gru_win_backward(slabs, hprev, dhs, wi, wh, b, *, win, stride, n_win,
     ns = _n_slabs(win, stride)
     const = lambda nd: (lambda bi, ti: (0,) * nd)
     idx = _tidx(True, n_win)  # time sweeps backward through the windows
+    k2 = _BWD_ACCUM_K2 and n_win > 1
     return pl.pallas_call(
         partial(_wbwd_kernel, win=win, stride=stride,
-                skip_dw=_TIMING_SKIP_DW),
+                skip_dw=_TIMING_SKIP_DW, k2=k2),
         grid=(B // BB, n_win),
         in_specs=_slab_specs(ns, stride, BB, C, n_win, True) + [
             pl.BlockSpec((1, BB, Hp), idx, memory_space=pltpu.VMEM),
@@ -422,9 +422,14 @@ def _gru_win_backward(slabs, hprev, dhs, wi, wh, b, *, win, stride, n_win,
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((2, 3 * Hp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)]
+        + _k2_stash_shapes(k2, BB, win * C, Hp),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the k2 stash (~2.3 MB) pushes the 512-wide windowed
+            # backward past Mosaic's default 16 MB scoped-vmem limit
+            # (observed: 19.5 MB needed); the chip has 128 MB VMEM
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(*([slabs] * ns), hprev, dhs, wi, wh, b)
@@ -516,16 +521,60 @@ _gru_win_core.defvjp(_gru_win_fwd_rule, _gru_win_bwd_rule)
 # ---------------------------------------------------------------------------
 
 
+def _accum_dw(t, T, k2, xt, hp, dgi, dgh, dwi_ref, dwh_ref, db_ref,
+              stash, dotTa):
+    """dW/dWh/db accumulation, optionally at HALF the read-modify-write
+    rate: with ``k2`` (and a stash scratch), even grid steps park
+    (xt, hp, dgi, dgh) in VMEM and odd steps fold BOTH steps into ONE
+    accumulator RMW — measured 17.6 ms of the 109 ms production fwd+bwd
+    is this RMW (docs/ROUND5.md §8), so halving its rate is the last
+    backward lever. f32 sums reassociate (two matmul products added in
+    registers before the += ), so grads match the per-step path to
+    roundoff, not bitwise."""
+    if not k2:
+        dwi_ref[:] += dotTa(xt, dgi)
+        dwh_ref[:] += dotTa(hp, dgh)
+        db_ref[0] += jnp.sum(dgi, axis=0)
+        db_ref[1] += jnp.sum(dgh, axis=0)
+        return
+    x_st, hp_st, dgi_st, dgh_st = stash
+    even = t % 2 == 0
+    last = t == T - 1
+
+    @pl.when(even & jnp.logical_not(last))
+    def _():
+        x_st[:] = xt
+        hp_st[:] = hp
+        dgi_st[:] = dgi
+        dgh_st[:] = dgh
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        dwi_ref[:] += dotTa(x_st[:], dgi_st[:]) + dotTa(xt, dgi)
+        dwh_ref[:] += dotTa(hp_st[:], dgh_st[:]) + dotTa(hp, dgh)
+        db_ref[0] += jnp.sum(dgi_st[:], axis=0) + jnp.sum(dgi, axis=0)
+        db_ref[1] += jnp.sum(dgh_st[:], axis=0) + jnp.sum(dgh, axis=0)
+
+    if (T - 1) % 2 == 0:  # odd T: the last step has no partner — flush solo
+        @pl.when(even & last)
+        def _():
+            dwi_ref[:] += dotTa(xt, dgi)
+            dwh_ref[:] += dotTa(hp, dgh)
+            db_ref[0] += jnp.sum(dgi, axis=0)
+            db_ref[1] += jnp.sum(dgh, axis=0)
+
+
 def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
-                *out_refs, need_dx: bool, skip_dw: bool = False):
+                *out_refs, need_dx: bool, skip_dw: bool = False,
+                k2: bool = False):
     if need_dx:
-        dx_ref, dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr = out_refs
+        dx_ref, dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr, *stash = out_refs
     else:
         # input is data (no cotangent consumer): skip the dx matmul and
         # the whole (T, B, F) dx stream — at CTC production scale that is
         # ~1 GB of HBM writes + 2*B*T*3Hp*F FLOPs of pure waste, since a
         # pallas_call's outputs cannot be dead-code-eliminated by XLA
-        dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr = out_refs
+        dh0_ref, dwi_ref, dwh_ref, db_ref, dh_scr, *stash = out_refs
     bidx = pl.program_id(0)
     t = pl.program_id(1)
     T = pl.num_programs(1)
@@ -578,10 +627,21 @@ def _bwd_kernel(x_ref, hprev_ref, dhs_ref, wi_ref, wh_ref, b_ref,
         dh0_ref[:] = dh_new
 
     if not skip_dw:  # timing-only arm: see timing_skip_dw_accum
-        dwi_ref[:] += dotTa(xt, dgi)
-        dwh_ref[:] += dotTa(hp, dgh)
-        db_ref[0] += jnp.sum(dgi, axis=0)
-        db_ref[1] += jnp.sum(dgh, axis=0)
+        _accum_dw(t, T, k2, xt, hp, dgi, dgh, dwi_ref, dwh_ref, db_ref,
+                  stash, dotTa)
+
+
+def _k2_stash_shapes(k2: bool, BB: int, F: int, Hp: int):
+    """VMEM stash for the half-rate dW accumulate (``_accum_dw``):
+    one grid step's (xt, hp, dgi, dgh). ~2 MB at BB=128/F=448/Hp=512."""
+    if not k2:
+        return []
+    return [
+        pltpu.VMEM((BB, F), jnp.float32),
+        pltpu.VMEM((BB, Hp), jnp.float32),
+        pltpu.VMEM((BB, 3 * Hp), jnp.float32),
+        pltpu.VMEM((BB, 3 * Hp), jnp.float32),
+    ]
 
 
 def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
@@ -602,8 +662,10 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
     dx_shapes = (
         [jax.ShapeDtypeStruct((T, B, F), jnp.float32)] if need_dx else []
     )
+    k2 = _BWD_ACCUM_K2 and T > 1
     out = pl.pallas_call(
-        partial(_bwd_kernel, need_dx=need_dx, skip_dw=_TIMING_SKIP_DW),
+        partial(_bwd_kernel, need_dx=need_dx, skip_dw=_TIMING_SKIP_DW,
+                k2=k2),
         grid=(B // BB, T),
         in_specs=[
             pl.BlockSpec((1, BB, F), idx, memory_space=pltpu.VMEM),
@@ -626,9 +688,12 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((2, 3 * Hp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BB, Hp), jnp.float32)]
+        + _k2_stash_shapes(k2, BB, F, Hp),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # headroom for the k2 stash (see the windowed backward note)
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(x, hprev, dhs, wi, wh, b)
@@ -877,6 +942,29 @@ class disable_pallas_gru:
     def __exit__(self, *exc):
         global _ENABLED
         _ENABLED = self._prev
+        return False
+
+
+# Half-rate dW accumulation (see _accum_dw): ON by default — measured
+# round 5 at production scale: the per-step accumulator RMW is 17.6 ms
+# of the 109 ms fwd+bwd, and the two-step fold nearly halves it. The
+# context manager below exists for A/B probes.
+_BWD_ACCUM_K2 = True
+
+
+class disable_bwd_accum_k2:
+    """Force the per-step (k=1) dW accumulate — A/B measurement arm.
+    Programs must be traced inside the context."""
+
+    def __enter__(self):
+        global _BWD_ACCUM_K2
+        self._prev = _BWD_ACCUM_K2
+        _BWD_ACCUM_K2 = False
+        return self
+
+    def __exit__(self, *exc):
+        global _BWD_ACCUM_K2
+        _BWD_ACCUM_K2 = self._prev
         return False
 
 

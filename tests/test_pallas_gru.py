@@ -363,6 +363,30 @@ def test_windowed_no_input_cotangent():
     assert float(jnp.abs(g).max()) == 0.0
 
 
+@pytest.mark.parametrize("T", [5, 6, 1])
+def test_k2_accum_matches_per_step(T):
+    """The half-rate dW accumulate (k=2 stash fold) produces the same
+    parameter grads as the per-step path for odd, even, and length-1
+    sweeps (f32 reassociation only)."""
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        disable_bwd_accum_k2,
+        gru_layer,
+    )
+
+    x, h0, wi, bi, wh, bh = _case(seed=11, T=T)
+
+    def loss(wi, bi, wh, bh):
+        return jnp.sum(jnp.sin(gru_layer(x, h0, wi, bi, wh, bh)))
+
+    g_k2 = jax.grad(loss, argnums=(0, 1, 2, 3))(wi, bi, wh, bh)
+    with disable_bwd_accum_k2():
+        g_k1 = jax.grad(loss, argnums=(0, 1, 2, 3))(wi, bi, wh, bh)
+    for a, b in zip(g_k2, g_k1):
+        scale = max(float(jnp.abs(b).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-6)
+
+
 def test_timing_skip_dw_accum_knob():
     """The timing-only A/B knob (docs/ROUND4.md §11 measurement): traced
     under the context, backward kernels skip the dW/dWh/db accumulate

@@ -341,6 +341,55 @@ def probe_bwd_accum(argv):
     t_real = _timeit(lambda: g_real(params, x))
     out["model_fwd_bwd_ms"] = t_real * 1e3
 
+    # round-5 mitigation A/B: default is the half-rate (k=2) accumulate;
+    # this arm forces the per-step (k=1) path for the same-session delta
+    from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
+        disable_bwd_accum_k2,
+    )
+
+    with disable_bwd_accum_k2():
+        g_k1 = jax.jit(jax.grad(loss_sq))
+        gr_k1 = g_k1(params, x)
+        t_k1 = _timeit(lambda: g_k1(params, x))
+    out["model_fwd_bwd_k1_ms"] = t_k1 * 1e3
+    out["k2_saving_ms"] = (t_k1 - t_real) * 1e3
+    # grads parity across accumulate schedules (f32 reassociation only)
+    gr_k2 = g_real(params, x)
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))
+                           / (jnp.max(jnp.abs(b)) + 1e-12)), gr_k2, gr_k1)
+    out["k2_vs_k1_max_rel_grad_delta"] = max(
+        jax.tree_util.tree_leaves(rel))
+
+    # full production train step (the bench ctc geometry) k2 vs k1
+    import numpy as _np
+
+    from cross_patient_speech_decoding_tpu.train import (
+        create_train_state,
+        make_ctc_train_step,
+    )
+    from cross_patient_speech_decoding_tpu.train.loops import make_optimizer
+
+    rng = _np.random.default_rng(0)
+    y = jnp.asarray(_np.concatenate(
+        [_np.full((B, 2), 10), rng.integers(1, 10, (B, 3)),
+         _np.full((B, 2), 10)], axis=1).astype(_np.int32))
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), 7, jnp.int32)
+    tx = make_optimizer(1e-3, 1e-5, 100)
+    state = create_train_state(model, variables, tx)
+    batch = (x, y, il, ll)
+    step_k2 = jax.jit(make_ctc_train_step(model, tx))
+    t_step = _timeit(lambda: step_k2(state, batch, key)[1]["loss"], n=5)
+    out["full_step_ms"] = t_step * 1e3
+    out["ctc_samples_per_sec"] = B / t_step
+    with disable_bwd_accum_k2():
+        step_k1 = jax.jit(make_ctc_train_step(model, tx))
+        _ = step_k1(state, batch, key)
+        t_step_k1 = _timeit(
+            lambda: step_k1(state, batch, key)[1]["loss"], n=5)
+    out["full_step_k1_ms"] = t_step_k1 * 1e3
+
     with timing_skip_dw_accum():
         # fresh jit wrapper: the flag is read at trace time, and this
         # cache must never serve real training
