@@ -945,21 +945,30 @@ class disable_pallas_gru:
         return False
 
 
-# Half-rate dW accumulation (see _accum_dw): ON by default — measured
-# round 5 at production scale: the per-step accumulator RMW is 17.6 ms
-# of the 109 ms fwd+bwd, and the two-step fold nearly halves it. The
-# context manager below exists for A/B probes.
-_BWD_ACCUM_K2 = True
+# Half-rate dW accumulation (see _accum_dw): OFF by default — measured
+# round 5 at production scale and REJECTED: folding two steps into one
+# accumulator read-modify-write changed nothing (fwd+bwd 109.8 ms k2 vs
+# 108.7 ms k1, same session), because the 17.6-18.8 ms "accumulate
+# cost" (vs the skip-accum timing clone) is almost entirely the dW/dWh
+# matmuls' OWN MXU FLOPs — analytically ~3.1 TFLOP ≈ 19 ms at the
+# session's 162 TF/s ceiling — i.e. mandatory gradient math already
+# running at ceiling, not RMW overhead. docs/ROUND5.md §8. The k2 path
+# stays correct + tested for future hardware where the balance differs.
+_BWD_ACCUM_K2 = False
 
 
-class disable_bwd_accum_k2:
-    """Force the per-step (k=1) dW accumulate — A/B measurement arm.
-    Programs must be traced inside the context."""
+class set_bwd_accum_k2:
+    """Select the dW accumulate schedule for A/B probes (programs must
+    be TRACED inside the context): True = two-step fold, False = the
+    per-step default."""
+
+    def __init__(self, enabled: bool):
+        self._want = enabled
 
     def __enter__(self):
         global _BWD_ACCUM_K2
         self._prev = _BWD_ACCUM_K2
-        _BWD_ACCUM_K2 = False
+        _BWD_ACCUM_K2 = self._want
         return self
 
     def __exit__(self, *exc):

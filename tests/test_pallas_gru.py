@@ -365,12 +365,14 @@ def test_windowed_no_input_cotangent():
 
 @pytest.mark.parametrize("T", [5, 6, 1])
 def test_k2_accum_matches_per_step(T):
-    """The half-rate dW accumulate (k=2 stash fold) produces the same
-    parameter grads as the per-step path for odd, even, and length-1
-    sweeps (f32 reassociation only)."""
+    """The half-rate dW accumulate (k=2 stash fold — measured and
+    REJECTED as a perf lever, docs/ROUND5.md §8, kept correct for
+    future hardware) produces the same parameter grads as the per-step
+    default for odd, even, and length-1 sweeps (f32 reassociation
+    only)."""
     from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
-        disable_bwd_accum_k2,
         gru_layer,
+        set_bwd_accum_k2,
     )
 
     x, h0, wi, bi, wh, bh = _case(seed=11, T=T)
@@ -378,8 +380,9 @@ def test_k2_accum_matches_per_step(T):
     def loss(wi, bi, wh, bh):
         return jnp.sum(jnp.sin(gru_layer(x, h0, wi, bi, wh, bh)))
 
-    g_k2 = jax.grad(loss, argnums=(0, 1, 2, 3))(wi, bi, wh, bh)
-    with disable_bwd_accum_k2():
+    with set_bwd_accum_k2(True):
+        g_k2 = jax.grad(loss, argnums=(0, 1, 2, 3))(wi, bi, wh, bh)
+    with set_bwd_accum_k2(False):
         g_k1 = jax.grad(loss, argnums=(0, 1, 2, 3))(wi, bi, wh, bh)
     for a, b in zip(g_k2, g_k1):
         scale = max(float(jnp.abs(b).max()), 1e-9)

@@ -341,20 +341,20 @@ def probe_bwd_accum(argv):
     t_real = _timeit(lambda: g_real(params, x))
     out["model_fwd_bwd_ms"] = t_real * 1e3
 
-    # round-5 mitigation A/B: default is the half-rate (k=2) accumulate;
-    # this arm forces the per-step (k=1) path for the same-session delta
+    # round-5 mitigation A/B (REJECTED — kept for re-measurement on new
+    # hardware): the half-rate (k=2) accumulate vs the per-step default
     from cross_patient_speech_decoding_tpu.ops.pallas_gru import (
-        disable_bwd_accum_k2,
+        set_bwd_accum_k2,
     )
 
-    with disable_bwd_accum_k2():
-        g_k1 = jax.jit(jax.grad(loss_sq))
-        gr_k1 = g_k1(params, x)
-        t_k1 = _timeit(lambda: g_k1(params, x))
-    out["model_fwd_bwd_k1_ms"] = t_k1 * 1e3
-    out["k2_saving_ms"] = (t_k1 - t_real) * 1e3
+    with set_bwd_accum_k2(True):
+        g_k2 = jax.jit(jax.grad(loss_sq))
+        gr_k2 = g_k2(params, x)
+        t_k2 = _timeit(lambda: g_k2(params, x))
+    out["model_fwd_bwd_k2_ms"] = t_k2 * 1e3
+    out["k2_saving_ms"] = (t_real - t_k2) * 1e3
     # grads parity across accumulate schedules (f32 reassociation only)
-    gr_k2 = g_real(params, x)
+    gr_k1 = g_real(params, x)
     rel = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))
                            / (jnp.max(jnp.abs(b)) + 1e-12)), gr_k2, gr_k1)
@@ -379,16 +379,16 @@ def probe_bwd_accum(argv):
     tx = make_optimizer(1e-3, 1e-5, 100)
     state = create_train_state(model, variables, tx)
     batch = (x, y, il, ll)
-    step_k2 = jax.jit(make_ctc_train_step(model, tx))
-    t_step = _timeit(lambda: step_k2(state, batch, key)[1]["loss"], n=5)
+    step = jax.jit(make_ctc_train_step(model, tx))
+    t_step = _timeit(lambda: step(state, batch, key)[1]["loss"], n=5)
     out["full_step_ms"] = t_step * 1e3
     out["ctc_samples_per_sec"] = B / t_step
-    with disable_bwd_accum_k2():
-        step_k1 = jax.jit(make_ctc_train_step(model, tx))
-        _ = step_k1(state, batch, key)
-        t_step_k1 = _timeit(
-            lambda: step_k1(state, batch, key)[1]["loss"], n=5)
-    out["full_step_k1_ms"] = t_step_k1 * 1e3
+    with set_bwd_accum_k2(True):
+        step_k2 = jax.jit(make_ctc_train_step(model, tx))
+        _ = step_k2(state, batch, key)
+        t_step_k2 = _timeit(
+            lambda: step_k2(state, batch, key)[1]["loss"], n=5)
+    out["full_step_k2_ms"] = t_step_k2 * 1e3
 
     with timing_skip_dw_accum():
         # fresh jit wrapper: the flag is read at trace time, and this
