@@ -15,6 +15,7 @@ Run on the real TPU:
     python bench.py --probe foldpar_pallas
     python bench.py --probe ctc_driver_overhead
     python bench.py --probe bf16_parity
+    python bench.py --probe bwd_accum
 
 Env knobs: ``BENCH_CALIB_N`` (calibration matmul size, default 8192 —
 smaller sizes under-measure the ceiling because the tunnel's fixed D2H
