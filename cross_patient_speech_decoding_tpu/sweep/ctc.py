@@ -37,6 +37,14 @@ from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
 EPOCH_SEG = 100
 
 
+def _sync_tiny(tree):
+    """Force completion of the queued segment with a tiny scalar read
+    (`block_until_ready` can return early through the tunnel —
+    CLAUDE.md; a one-element read costs one ~0.4 s roundtrip)."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _ = float(jnp.ravel(leaf)[0])
+
+
 def _weighted_ctc_loss(model, params, x, y, in_adj, ll, w, blank, key):
     """Fold-masked CTC loss — the same ``ctc_loss_mean`` as the production
     train steps (one definition of the zero_infinity clamp and
@@ -208,11 +216,15 @@ def make_ctc_cv_bucket_trainer(
         # math (the segment boundary only cuts the scan), but (a) a
         # 300-length scan program at production scale crashed the TPU
         # worker where the 100-length one runs (observed round 5), and
-        # (b) equal-length segments share one cached program
+        # (b) equal-length segments share one cached program. The tiny
+        # per-segment sync bounds the async queue (minutes of queued
+        # device work correlate with worker-crash flakes) and localizes
+        # any crash to its segment.
         ekeys = jax.random.split(jax.random.key(seed + 1), epochs)
         carry = (params, opts)
         for s0 in range(0, epochs, EPOCH_SEG):
             carry, _ = jax.lax.scan(epoch_step, carry, ekeys[s0:s0 + EPOCH_SEG])
+            _sync_tiny(carry[0])
         params, _ = carry
 
         # data enters eval as EXPLICIT jit arguments: a closed-over
@@ -361,6 +373,7 @@ def make_ctc_bucket_trainer(
         carry = (params, opt_states)
         for s0 in range(0, epochs, EPOCH_SEG):
             carry, _ = jax.lax.scan(epoch_step, carry, ekeys[s0:s0 + EPOCH_SEG])
+            _sync_tiny(carry[0])
         params, _ = carry
 
         x_v, y_v, il_v, ll_v = val_batch
