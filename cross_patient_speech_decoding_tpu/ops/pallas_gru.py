@@ -428,8 +428,10 @@ def _gru_win_backward(slabs, hprev, dhs, wi, wh, b, *, win, stride, n_win,
             dimension_semantics=("arbitrary", "arbitrary"),
             # the k2 stash (~2.3 MB) pushes the 512-wide windowed
             # backward past Mosaic's default 16 MB scoped-vmem limit
-            # (observed: 19.5 MB needed); the chip has 128 MB VMEM
-            vmem_limit_bytes=32 * 1024 * 1024,
+            # (observed: 19.5 MB needed; chip VMEM is 128 MB). Raised
+            # ONLY for k2: the default-limit k1 binaries are the
+            # production-proven ones.
+            **({"vmem_limit_bytes": 32 * 1024 * 1024} if k2 else {}),
         ),
         interpret=_interpret(),
     )(*([slabs] * ns), hprev, dhs, wi, wh, b)
@@ -693,7 +695,7 @@ def _gru_backward(x, hprev, dhs, wi, wh, b, *, reverse: bool, bb_cap: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # headroom for the k2 stash (see the windowed backward note)
-            vmem_limit_bytes=32 * 1024 * 1024,
+            **({"vmem_limit_bytes": 32 * 1024 * 1024} if k2 else {}),
         ),
         interpret=_interpret(),
     )(x, hprev, dhs, wi, wh, b)
