@@ -33,8 +33,13 @@ from cross_patient_speech_decoding_tpu.ops.metrics import per_batch
 
 
 # epoch-scan segment length for the CV trainable (host-side chunking of
-# the lax.scan over epochs; see the note at its use site)
-EPOCH_SEG = 100
+# the lax.scan over epochs; see the note at its use site). Env-tunable:
+# shorter segments bound the continuous on-device stretch (the flaky
+# worker crashes correlate with sustained load — docs/ROUND5.md §9) at
+# one ~0.4 s sync per segment.
+import os as _os
+
+EPOCH_SEG = int(_os.environ.get("CPSD_EPOCH_SEG", "100"))
 
 
 def _sync_tiny(tree):
