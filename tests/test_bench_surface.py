@@ -193,6 +193,24 @@ def test_bench_emits_parseable_json_when_section_times_out():
     assert out["value"] is None  # alignment never ran; still parseable
 
 
+def test_bench_salvages_partial_fragment_from_timed_out_section():
+    """A section killed on budget still contributes any INTERMEDIATE
+    fragment it printed (round 5: under a degraded tunnel the realtime
+    section computes its amortized number, then blows the budget in the
+    dispatch-heavy per-step phase)."""
+    rc, out = _run_bench({
+        "BENCH_SECTIONS": "sleep",
+        "BENCH_TEST_SLEEP_S": "60",
+        "BENCH_TEST_PARTIAL": "1",
+        "BENCH_BUDGET_SLEEP": "5",
+        "BENCH_GLOBAL_BUDGET_S": "60",
+    }, timeout=180)
+    assert rc == 0
+    assert out["sections_timed_out"] == ["sleep"]
+    # the intermediate fragment survived into the final line
+    assert out["realtime_amortized_ms_per_bin"] == 1.5
+
+
 def test_bench_emits_on_sigterm():
     """The driver's `timeout` SIGTERMs the parent mid-run; the handler
     must still print the line."""
